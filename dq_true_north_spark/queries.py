@@ -1,0 +1,437 @@
+"""Query registry: every implemented operator as (spark_fn, oracle_sql).
+
+Each query is authored ONCE as a dialect-parameterized SQL template and
+rendered for Spark SQL (executed distributed via Catalyst) and DuckDB (the
+driver's correctness oracle). Queries that need the vectorized-UDF stage
+(langid, perplexity, scrub, minhash, simhash, fingerprint) register with
+oracle=None → driver records the weaker rows-only check.
+
+Reference parity cites are in each query's docstring (file:line into
+/root/reference/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import constants as C
+from .session import load_tables
+from .textquality import spec
+from .textquality.spec import DUCK, SPARK
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# registry: name -> (template_fn(dialect)->sql | None, spark_fn | None)
+_REGISTRY: dict[str, dict] = {}
+
+
+def sql_query(name: str):
+    """Register a dialect-templated SQL query (oracle = DUCK rendering)."""
+
+    def deco(template: Callable[[str], str]):
+        def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            load_tables(spark, sf_dir, TABLES)
+            return spark.sql(template(SPARK))
+
+        _REGISTRY[name] = {"spark": spark_fn, "oracle": template(DUCK)}
+        return template
+
+    return deco
+
+
+def df_query(name: str, oracle: str | None = None):
+    """Register a DataFrame-API query (UDF-backed ones pass oracle=None)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = {"spark": fn, "oracle": oracle}
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, dict]:
+    return dict(_REGISTRY)
+
+
+# ----------------------------------------------------------------- dialect --
+def _str_t(d: str) -> str:
+    return "STRING" if d == SPARK else "VARCHAR"
+
+
+def _datediff_days(d: str, start: str, end: str) -> str:
+    if d == SPARK:
+        return f"datediff({end}, {start})"
+    return f"datediff('day', {start}, {end})"
+
+
+def _date_sub(d: str, col: str, n: str | int) -> str:
+    if d == SPARK:
+        return f"date_sub({col}, {n})"
+    return f"({col} - INTERVAL ({n}) DAY)"
+
+
+# ============================================================ documents ====
+# The web-text payload (BASELINE.json north_rule), run over the driver's
+# `documents` table. One scan, wide projection (SURVEY.md §3.1).
+
+
+@sql_query("doc_metrics")
+def q_doc_metrics(d: str) -> str:
+    """All heuristic metrics in one pass. Reference analog: the per-column
+    loop in dq_rules_library.py:675-699, collapsed to one projection."""
+    cols = ",\n      ".join(
+        f"{fn(d, 'text')} AS {name}" for name, fn in spec.METRICS.items()
+    )
+    return f"SELECT doc_id,\n      {cols}\nFROM documents"
+
+
+@sql_query("doc_drop_flags")
+def q_doc_drop_flags(d: str) -> str:
+    """Per-document 0/1 flag per heuristic drop reason (Gopher/C4 rules)."""
+    cols = ",\n      ".join(
+        f"CAST(({pred}) AS INT) AS {reason}"
+        for reason, pred in spec.heuristic_drop_predicates(d, "text")
+    )
+    return f"SELECT doc_id,\n      {cols}\nFROM documents"
+
+
+def _verdict_cte(d: str) -> str:
+    """Shared CTE: flags + exact-dup (first-doc_id-wins) + language gate.
+
+    Exact duplicate = same md5(text) as an earlier doc_id — the reference's
+    duplicate check (groupBy norm cols → count>1, dq_rules_library.py:318-321)
+    recast as keep-first semantics for corpus dedup. Deterministic tie-break
+    per SURVEY.md §7 hard-point 3 (stable key, never first() unordered).
+    """
+    flags = ",\n      ".join(
+        f"CAST(({pred}) AS INT) AS {reason}"
+        for reason, pred in spec.heuristic_drop_predicates(d, "text")
+    )
+    langs = ", ".join(f"'{x}'" for x in C.ALLOWED_LANGS)
+    return f"""
+WITH flagged AS (
+  SELECT doc_id, lang,
+      {flags},
+      md5(text) AS text_hash
+  FROM documents
+), verd AS (
+  SELECT *,
+      CASE WHEN row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) > 1
+           THEN 1 ELSE 0 END AS {C.REASON_EXACT_DUP},
+      CASE WHEN lang IN ({langs}) THEN 0 ELSE 1 END AS {C.REASON_BAD_LANG}
+  FROM flagged
+)"""
+
+
+@sql_query("doc_verdicts")
+def q_doc_verdicts(d: str) -> str:
+    """Flagship: keep/drop verdict + ordered drop-reason list per document.
+
+    Mirrors the reference's universal verdict convention: FAIL iff violation
+    count > 0 (dq_rules_library.py:98,263,348,...), applied per-document.
+    """
+    heur = [r for r, _ in spec.heuristic_drop_predicates(d, "text")]
+    reasons = heur + [C.REASON_EXACT_DUP, C.REASON_BAD_LANG]
+    any_drop = " + ".join(reasons)
+    parts = ", ".join(
+        f"CASE WHEN {r} = 1 THEN '{r}' END" for r in reasons
+    )
+    return f"""{_verdict_cte(d)}
+SELECT doc_id,
+    CAST(CASE WHEN ({any_drop}) = 0 THEN 1 ELSE 0 END AS INT) AS keep,
+    concat_ws(',', {parts}) AS drop_reasons
+FROM verd"""
+
+
+@sql_query("doc_pass_rate")
+def q_doc_pass_rate(d: str) -> str:
+    """Corpus-level pass-rate rollup (dashboard analog: streamlit.py:665-668
+    counts by INDICATOR)."""
+    heur = [r for r, _ in spec.heuristic_drop_predicates(d, "text")]
+    reasons = heur + [C.REASON_EXACT_DUP, C.REASON_BAD_LANG]
+    any_drop = " + ".join(reasons)
+    sums = ",\n    ".join(f"SUM({r}) AS {r}_count" for r in reasons)
+    return f"""{_verdict_cte(d)}
+SELECT
+    COUNT(*) AS total_docs,
+    SUM(CASE WHEN ({any_drop}) = 0 THEN 1 ELSE 0 END) AS kept_docs,
+    {sums}
+FROM verd"""
+
+
+@sql_query("doc_token_counts")
+def q_doc_token_counts(d: str) -> str:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    ws = spec.n_words(d, "text")
+    bpe = spec.bpe_token_count(d, "text")
+    return f"SELECT doc_id, {ws} AS ws_tokens, {bpe} AS bpe_tokens FROM documents"
+
+
+@sql_query("doc_quality_score")
+def q_doc_quality_score(d: str) -> str:
+    """Composite quality score in [0,1]: stopword signal + alpha fraction +
+    length sweet-spot, equally weighted. Pure column arithmetic."""
+    nw = spec.n_words(d, "text")
+    stop = spec.stopword_fraction(d, "text")
+    alpha = f"(1.0 - coalesce({spec.non_alpha_word_fraction(d, 'text')}, 1.0))"
+    lensig = (
+        f"CASE WHEN {nw} BETWEEN {C.MIN_WORDS} AND {C.MAX_WORDS} "
+        f"THEN 1.0 ELSE 0.0 END"
+    )
+    return (
+        f"SELECT doc_id, round(("
+        f"least(coalesce({stop}, 0.0) * 10.0, 1.0) + {alpha} + {lensig}"
+        f") / 3.0, 4) AS quality_score FROM documents"
+    )
+
+
+@sql_query("doc_exact_dup_groups")
+def q_doc_exact_dup_groups(d: str) -> str:
+    """Exact-duplicate groups by full-text hash — the reference duplicate
+    check (dq_rules_library.py:318-321): groupBy → count > 1."""
+    return """
+SELECT md5(text) AS text_hash,
+       COUNT(*) AS duplicate_count,
+       MIN(doc_id) AS first_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1"""
+
+
+# ============================================================== dup rules ==
+
+
+@sql_query("dup_orders_cust_date")
+def q_dup_orders(d: str) -> str:
+    """execute_duplicate_check semantics (dq_rules_library.py:280-369):
+    group by normalized key columns, keep groups with count > 1."""
+    return f"""
+SELECT o_custkey,
+       CAST(CAST(o_orderdate AS DATE) AS {_str_t(d)}) AS order_date,
+       COUNT(*) AS duplicate_count
+FROM orders
+GROUP BY o_custkey, CAST(CAST(o_orderdate AS DATE) AS {_str_t(d)})
+HAVING COUNT(*) > 1"""
+
+
+@sql_query("uniqueness_lineitem")
+def q_uniqueness_lineitem(d: str) -> str:
+    """UNIQUENESS rule (dq_rules_library.py:67-99): violation groups on the
+    declared primary key; PASS state == empty result."""
+    return """
+SELECT l_orderkey, l_linenumber, COUNT(*) AS duplicate_count
+FROM lineitem
+GROUP BY l_orderkey, l_linenumber
+HAVING COUNT(*) > 1"""
+
+
+# ========================================================== monitor rules ==
+
+
+@sql_query("rolling_avg_events")
+def q_rolling_avg(d: str) -> str:
+    """ROLLING_AVERAGE rule (dq_rules_library.py:167-256): windowed average
+    over the trailing {w} rows per segment, then latest row per segment via
+    the QUALIFY ROW_NUMBER()=1 pattern (dq_rules_library.py:204)."""
+    w = C.ROLLING_WINDOW_DAYS
+    return f"""
+WITH win AS (
+  SELECT event_type, event_id, ts, value,
+      AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+          AS rolling_avg,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC)
+          AS rn
+  FROM events
+)
+SELECT event_type, event_id,
+       CAST(ts AS {_str_t(d)}) AS calculation_ts,
+       round(rolling_avg, 4) AS average_value
+FROM win WHERE rn = 1"""
+
+
+@sql_query("spike_dip_events")
+def q_spike_dip(d: str) -> str:
+    """SPIKE/DIP rule (dq_rules_library.py:512-630): per-segment lag(1),
+    pct_change guarded by prev IS NOT NULL AND prev != 0
+    (dq_rules_library.py:551-556), breach iff |pct| >= threshold (0.50,
+    dq_rules_library.py:538)."""
+    return f"""
+WITH lagged AS (
+  SELECT event_type, event_id, ts, value,
+      LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+          AS prev_value
+  FROM events
+)
+SELECT event_type, event_id,
+       CAST(ts AS {_str_t(d)}) AS event_ts,
+       round(value, 4) AS metric_value,
+       round(prev_value, 4) AS previous_metric_value,
+       round((value - prev_value) / prev_value, 4) AS percent_change
+FROM lagged
+WHERE prev_value IS NOT NULL AND prev_value <> 0
+  AND abs((value - prev_value) / prev_value) >= {C.SPIKE_THRESHOLD}"""
+
+
+@sql_query("sustained_trend_events")
+def q_sustained_trend(d: str) -> str:
+    """SNOWPARK_FUNC sustained-trend rule (dq_rules_library.py:1153-1203):
+    gaps-and-islands — lag → is_increasing → running-sum group id →
+    group count >= threshold (here 3 to exercise the rule on random data)."""
+    return """
+WITH lagged AS (
+  SELECT event_type, event_id, ts, value,
+      LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+          AS prev_value
+  FROM events
+), marked AS (
+  SELECT *,
+      CASE WHEN prev_value IS NOT NULL AND value > prev_value THEN 1 ELSE 0 END
+          AS is_increasing
+  FROM lagged
+), grouped AS (
+  SELECT *,
+      SUM(CASE WHEN is_increasing = 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS trend_group_id
+  FROM marked
+)
+SELECT event_type, trend_group_id, COUNT(*) AS trend_length
+FROM grouped
+GROUP BY event_type, trend_group_id
+HAVING COUNT(*) >= 3"""
+
+
+@sql_query("negative_values")
+def q_negative_values(d: str) -> str:
+    """NEGATIVE_VALUE rule (dq_rules_library.py:634-727). The reference scans
+    once per numeric column; here one unpivoted pass per table, unioned."""
+    s = _str_t(d)
+    return f"""
+SELECT CAST(c_custkey AS {s}) AS record_id,
+       'customer' AS source_table, 'c_acctbal' AS field_name,
+       round(c_acctbal, 2) AS negative_value
+FROM customer WHERE c_acctbal < 0
+UNION ALL
+SELECT CAST(s_suppkey AS {s}) AS record_id,
+       'supplier' AS source_table, 's_acctbal' AS field_name,
+       round(s_acctbal, 2) AS negative_value
+FROM supplier WHERE s_acctbal < 0"""
+
+
+@sql_query("completeness_orders")
+def q_completeness(d: str) -> str:
+    """COMPLETENESS rule (dq_rules_library.py:101-165): expected date vs
+    per-segment actual max date, days_missing = gap in days."""
+    s = _str_t(d)
+    return f"""
+WITH g AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS expected_date FROM orders),
+seg AS (
+  SELECT o_orderpriority, CAST(MAX(o_orderdate) AS DATE) AS actual_max_date
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT seg.o_orderpriority,
+       CAST(g.expected_date AS {s}) AS expected_date,
+       CAST(seg.actual_max_date AS {s}) AS actual_max_date,
+       {_datediff_days(d, "seg.actual_max_date", "g.expected_date")} AS days_missing
+FROM seg CROSS JOIN g"""
+
+
+@sql_query("missing_permutations_events")
+def q_missing_permutations(d: str) -> str:
+    """MISSING_DATA sub-check 3 (dq_rules_library.py:461-463): distinct
+    segment permutations present on day T-1 but absent on day T —
+    set difference (subtract → EXCEPT → left-anti join under Catalyst)."""
+    return f"""
+WITH g AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events),
+t1 AS (
+  SELECT DISTINCT event_type, user_id FROM events, g
+  WHERE CAST(ts AS DATE) = g.maxd
+),
+t2 AS (
+  SELECT DISTINCT event_type, user_id FROM events, g
+  WHERE CAST(ts AS DATE) = {_date_sub(d, "g.maxd", 1)}
+)
+SELECT event_type, user_id FROM t2
+EXCEPT
+SELECT event_type, user_id FROM t1"""
+
+
+@sql_query("historical_completeness_events")
+def q_historical_completeness(d: str) -> str:
+    """HISTORICAL_COMPLETENESS rule (dq_rules_library.py:806-1150). The
+    reference loops datasets × 4 scalar SUM queries (:931-1045); rebuilt as
+    ONE conditional-sum aggregate pass (SURVEY.md §2.1 #10):
+    expected = prev_cumulative − dropped_day + newest_day (:1049),
+    deviation_pct = |actual−expected|/expected (:1054-1060),
+    FAIL iff > tolerance 0.05 (:831,1066)."""
+    lb = C.HIST_LOOKBACK_DAYS
+    return f"""
+WITH g AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events),
+agg AS (
+  SELECT event_type AS dataset_name,
+      SUM(CASE WHEN CAST(ts AS DATE) > {_date_sub(d, "g.maxd", lb)}
+               THEN 1 ELSE 0 END) AS actual_count,
+      SUM(CASE WHEN CAST(ts AS DATE) > {_date_sub(d, "g.maxd", lb + 1)}
+                AND CAST(ts AS DATE) <= {_date_sub(d, "g.maxd", 1)}
+               THEN 1 ELSE 0 END) AS previous_cumulative_count,
+      SUM(CASE WHEN CAST(ts AS DATE) = {_date_sub(d, "g.maxd", lb)}
+               THEN 1 ELSE 0 END) AS dropped_day_count,
+      SUM(CASE WHEN CAST(ts AS DATE) = g.maxd THEN 1 ELSE 0 END)
+          AS newest_day_count
+  FROM events, g
+  GROUP BY event_type
+)
+SELECT dataset_name, actual_count, previous_cumulative_count,
+    dropped_day_count, newest_day_count,
+    (previous_cumulative_count - dropped_day_count + newest_day_count)
+        AS expected_count,
+    (actual_count - (previous_cumulative_count - dropped_day_count
+                     + newest_day_count)) AS deviation,
+    round(abs(CAST(actual_count - (previous_cumulative_count
+        - dropped_day_count + newest_day_count) AS DOUBLE))
+        / nullif(previous_cumulative_count - dropped_day_count
+                 + newest_day_count, 0), 4) AS deviation_percentage,
+    CAST(CASE WHEN abs(CAST(actual_count - (previous_cumulative_count
+        - dropped_day_count + newest_day_count) AS DOUBLE))
+        / nullif(previous_cumulative_count - dropped_day_count
+                 + newest_day_count, 0) > {C.HIST_TOLERANCE}
+        THEN 1 ELSE 0 END AS INT) AS is_breach
+FROM agg"""
+
+
+@sql_query("sigma_bands_events")
+def q_sigma_bands(d: str) -> str:
+    """σ-band anomaly flagging — the pure-Spark replacement for the Cortex ML
+    anomaly rule (SURVEY.md §2.1 #9), matching the dashboard's own math:
+    rolling avg/stddev over trailing 60 rows, flag |x − avg| > 3σ
+    (streamlit.py:1151-1153,1174-1178,1211-1213)."""
+    s = _str_t(d)
+    w = C.ROLLING_WINDOW_DAYS
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         SUM(value) AS daily_total
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), banded AS (
+  SELECT event_type, event_date, daily_total,
+      AVG(daily_total) OVER (PARTITION BY event_type ORDER BY event_date
+          ROWS BETWEEN {w - 1} PRECEDING AND 1 PRECEDING) AS avg_value,
+      STDDEV_SAMP(daily_total) OVER (PARTITION BY event_type ORDER BY event_date
+          ROWS BETWEEN {w - 1} PRECEDING AND 1 PRECEDING) AS std_value
+  FROM daily
+)
+SELECT event_type, CAST(event_date AS {s}) AS event_date,
+    round(daily_total, 4) AS daily_total,
+    round(avg_value, 4) AS avg_value,
+    round(std_value, 4) AS std_value,
+    CAST(CASE WHEN std_value IS NOT NULL
+              AND abs(daily_total - avg_value) > {C.SIGMA_BAND} * std_value
+         THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM banded"""

@@ -1,0 +1,210 @@
+"""Dual-dialect expression spec for the Gopher/C4-style heuristic metrics.
+
+Every per-document metric is defined ONCE here and rendered into two SQL
+dialects: Spark SQL (executed via F.expr inside the distributed pipeline —
+whole-stage-codegen, no Python in the hot path) and DuckDB SQL (the
+correctness oracle the driver runs side-by-side). A third rendering — plain
+Python in tests/golden.py — shares the same constants module.
+
+Reference analog: the reference evaluates per-column checks one scan per
+column (dq_rules_library.py:675-699); here every metric is a column in ONE
+wide select, so the 100 TB corpus is scanned exactly once.
+"""
+
+from __future__ import annotations
+
+from .. import constants as C
+
+SPARK, DUCK = "spark", "duck"
+
+
+def _rx(dialect: str, pattern: str) -> str:
+    """Render a regex as a string literal for the dialect.
+
+    Spark SQL string literals are backslash-escaped; DuckDB's are not.
+    """
+    if dialect == SPARK:
+        return "'" + pattern.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return "'" + pattern.replace("'", "''") + "'"
+
+
+def rx_count(dialect: str, expr: str, pattern: str) -> str:
+    p = _rx(dialect, pattern)
+    if dialect == SPARK:
+        return f"regexp_count({expr}, {p})"
+    return f"len(regexp_extract_all({expr}, {p}))"
+
+
+def size(dialect: str, arr: str) -> str:
+    return f"size({arr})" if dialect == SPARK else f"len({arr})"
+
+
+def words(dialect: str, expr: str) -> str:
+    """Array of non-empty whitespace-separated tokens."""
+    p = _rx(dialect, r"\s+")
+    if dialect == SPARK:
+        return f"filter(split({expr}, {p}), w -> w <> '')"
+    return f"list_filter(regexp_split_to_array({expr}, {p}), w -> w <> '')"
+
+
+def lines(dialect: str, expr: str) -> str:
+    if dialect == SPARK:
+        return f"split({expr}, '\\n')"
+    return f"string_split({expr}, chr(10))"
+
+
+def arr_lit(dialect: str, items) -> str:
+    quoted = ", ".join("'" + i.replace("'", "''") + "'" for i in items)
+    return f"array({quoted})" if dialect == SPARK else f"[{quoted}]"
+
+
+def arr_filter(dialect: str, arr: str, lam: str) -> str:
+    fn = "filter" if dialect == SPARK else "list_filter"
+    return f"{fn}({arr}, {lam})"
+
+
+def arr_contains(dialect: str, arr: str, elem: str) -> str:
+    fn = "array_contains" if dialect == SPARK else "list_contains"
+    return f"{fn}({arr}, {elem})"
+
+
+def arr_distinct(dialect: str, arr: str) -> str:
+    fn = "array_distinct" if dialect == SPARK else "list_distinct"
+    return f"{fn}({arr})"
+
+
+def arr_intersect(dialect: str, a: str, b: str) -> str:
+    fn = "array_intersect" if dialect == SPARK else "list_intersect"
+    return f"{fn}({a}, {b})"
+
+
+# --------------------------------------------------------------- metrics ---
+# Each metric is a function (dialect, text_expr) -> SQL expression string.
+
+def n_words(d: str, t: str) -> str:
+    return rx_count(d, t, r"\S+")
+
+
+def n_word_chars(d: str, t: str) -> str:
+    # total characters inside words = doc length minus whitespace
+    p = _rx(d, r"\s")
+    gflag = ", 'g'" if d == DUCK else ""  # DuckDB replaces first match only by default
+    return f"length(regexp_replace({t}, {p}, ''{gflag}))"
+
+
+def mean_word_len(d: str, t: str) -> str:
+    return (
+        f"round(CAST({n_word_chars(d, t)} AS DOUBLE) / "
+        f"nullif({n_words(d, t)}, 0), 4)"
+    )
+
+
+def symbol_word_ratio(d: str, t: str) -> str:
+    sym = rx_count(d, t, r"[#…]")
+    return f"round(CAST({sym} AS DOUBLE) / nullif({n_words(d, t)}, 0), 4)"
+
+
+def _lower_words(d: str, t: str) -> str:
+    return words(d, f"lower({t})")
+
+
+def stopword_count(d: str, t: str) -> str:
+    stops = arr_lit(d, C.STOPWORDS)
+    lam = f"w -> {arr_contains(d, stops, 'w')}"
+    return size(d, arr_filter(d, _lower_words(d, t), lam))
+
+
+def stopword_fraction(d: str, t: str) -> str:
+    return (
+        f"round(CAST({stopword_count(d, t)} AS DOUBLE) / "
+        f"nullif({n_words(d, t)}, 0), 4)"
+    )
+
+
+def distinct_stopwords(d: str, t: str) -> str:
+    stops = arr_lit(d, C.STOPWORDS)
+    return size(d, arr_intersect(d, arr_distinct(d, _lower_words(d, t)), stops))
+
+
+def alpha_word_count(d: str, t: str) -> str:
+    # words containing at least one ASCII letter (non-overlapping \S-runs)
+    return rx_count(d, t, r"[^\s]*[A-Za-z][^\s]*")
+
+
+def non_alpha_word_fraction(d: str, t: str) -> str:
+    return (
+        f"round(CAST({n_words(d, t)} - {alpha_word_count(d, t)} AS DOUBLE) / "
+        f"nullif({n_words(d, t)}, 0), 4)"
+    )
+
+
+def _nonempty_lines(d: str, t: str) -> str:
+    return arr_filter(d, lines(d, t), "l -> l <> ''")
+
+
+def ellipsis_line_fraction(d: str, t: str) -> str:
+    nl = _nonempty_lines(d, t)
+    hit = arr_filter(d, nl, "l -> l LIKE '%...'")
+    return f"round(CAST({size(d, hit)} AS DOUBLE) / nullif({size(d, nl)}, 0), 4)"
+
+
+def bullet_line_fraction(d: str, t: str) -> str:
+    nl = _nonempty_lines(d, t)
+    pred = "l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'"
+    hit = arr_filter(d, nl, pred)
+    return f"round(CAST({size(d, hit)} AS DOUBLE) / nullif({size(d, nl)}, 0), 4)"
+
+
+def dup_line_fraction(d: str, t: str) -> str:
+    nl = _nonempty_lines(d, t)
+    return (
+        f"round(1.0 - CAST({size(d, arr_distinct(d, nl))} AS DOUBLE) / "
+        f"nullif({size(d, nl)}, 0), 4)"
+    )
+
+
+def bpe_token_count(d: str, t: str) -> str:
+    return rx_count(d, t, C.BPE_TOKEN_PATTERN)
+
+
+# ------------------------------------------------- drop-reason predicates ---
+# (reason_code, predicate-SQL builder). Order is C.DROP_REASON_ORDER minus the
+# UDF-backed reasons (lang-confidence, perplexity) which join in later.
+
+def heuristic_drop_predicates(d: str, t: str) -> list[tuple[str, str]]:
+    return [
+        (C.REASON_TOO_SHORT, f"{n_words(d, t)} < {C.MIN_WORDS}"),
+        (C.REASON_TOO_LONG, f"{n_words(d, t)} > {C.MAX_WORDS}"),
+        (
+            C.REASON_MEAN_WORD_LEN,
+            f"({mean_word_len(d, t)} < {C.MIN_MEAN_WORD_LEN} OR "
+            f"{mean_word_len(d, t)} > {C.MAX_MEAN_WORD_LEN})",
+        ),
+        (C.REASON_SYMBOL_RATIO, f"{symbol_word_ratio(d, t)} > {C.MAX_SYMBOL_WORD_RATIO}"),
+        (
+            C.REASON_STOPWORDS,
+            f"({stopword_fraction(d, t)} < {C.MIN_STOPWORD_FRACTION} OR "
+            f"{distinct_stopwords(d, t)} < {C.MIN_DISTINCT_STOPWORDS})",
+        ),
+        (C.REASON_NON_ALPHA, f"{non_alpha_word_fraction(d, t)} > {C.MAX_NON_ALPHA_WORD_FRACTION}"),
+        (C.REASON_ELLIPSIS, f"coalesce({ellipsis_line_fraction(d, t)}, 0.0) > {C.MAX_ELLIPSIS_LINE_FRACTION}"),
+        (C.REASON_BULLET, f"coalesce({bullet_line_fraction(d, t)}, 0.0) > {C.MAX_BULLET_LINE_FRACTION}"),
+        (C.REASON_DUP_LINES, f"coalesce({dup_line_fraction(d, t)}, 0.0) > {C.MAX_DUP_LINE_FRACTION}"),
+    ]
+
+
+METRICS = {
+    "n_words": n_words,
+    "n_word_chars": n_word_chars,
+    "mean_word_len": mean_word_len,
+    "symbol_word_ratio": symbol_word_ratio,
+    "stopword_count": stopword_count,
+    "stopword_fraction": stopword_fraction,
+    "distinct_stopwords": distinct_stopwords,
+    "alpha_word_count": alpha_word_count,
+    "non_alpha_word_fraction": non_alpha_word_fraction,
+    "ellipsis_line_fraction": ellipsis_line_fraction,
+    "bullet_line_fraction": bullet_line_fraction,
+    "dup_line_fraction": dup_line_fraction,
+    "bpe_token_count": bpe_token_count,
+}
