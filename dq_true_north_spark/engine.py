@@ -1,0 +1,105 @@
+"""Catalog-driven rule engine — the reference's orchestrator re-built.
+
+Reference: dq_engine.main (dq_engine.py:20-141):
+  1. scan RULE_CATALOG, filter IS_ACTIVE, collect to driver (:27) — the
+     catalog is tiny, so driver-side iteration is correct on Spark too
+     (SURVEY.md §1.2 "control vs data tables");
+  2. dispatch on (RULE_TYPE, LOGIC_IMPLEMENTATION) (:93-124);
+  3. per-rule exception isolation → ERROR row, loop continues (:125-138);
+  4. append one summary row per rule to DQ_RESULTS (:37-44).
+"""
+
+from __future__ import annotations
+
+import json
+import traceback
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C
+from .io import NullSink, ResultSink
+from .rules.base import RuleResult
+from .rules.duplicates import execute_duplicate_check
+from .rules.historical import execute_historical_completeness_check
+from .rules.missing_data import execute_missing_data_nulls_check
+from .rules.negative_values import execute_negative_value_check
+from .rules.sigma import execute_sigma_band_check
+from .rules.spike_dip import execute_spike_dip_check
+from .rules.sql_rule import (
+    execute_completeness_sql,
+    execute_generic_sql,
+    execute_rolling_average,
+    execute_uniqueness_sql,
+)
+from .rules.trend import execute_sustained_trend_check
+
+DQ_RESULTS_SCHEMA = (
+    "rule_id int, rule_name string, segment_value string, rule_type string, "
+    "logic_implementation string, result_value string, indicator string, "
+    "error_message string"
+)
+
+# dispatch table — reference if/elif chain (dq_engine.py:93-124) as a dict
+DISPATCH = {
+    ("UNIQUENESS", "SQL_QUERY"): execute_uniqueness_sql,
+    ("COMPLETENESS", "SQL_QUERY"): execute_completeness_sql,
+    ("ROLLING_AVERAGE", "SNOWPARK_FUNC"): execute_rolling_average,
+    ("DUPLICATE_CHECK", "SNOWPARK_FUNC"): execute_duplicate_check,
+    ("MISSING_DATA_NULLS", "SNOWPARK_FUNC"): execute_missing_data_nulls_check,
+    ("SPIKE_DIP", "SNOWPARK_FUNC"): execute_spike_dip_check,
+    ("NEGATIVE_VALUES", "SNOWPARK_FUNC"): execute_negative_value_check,
+    ("HISTORICAL_COMPLETENESS", "SNOWPARK_FUNC"): execute_historical_completeness_check,
+    ("SUSTAINED_TREND", "SNOWPARK_FUNC"): execute_sustained_trend_check,
+    ("ANOMALY_SIGMA", "SNOWPARK_FUNC"): execute_sigma_band_check,
+}
+
+
+def run_catalog(
+    spark: SparkSession,
+    rules: list[dict],
+    sink: ResultSink | None = None,
+    write_summary: bool = True,
+) -> DataFrame:
+    """Execute every active rule; return the dq_results summary DataFrame."""
+    sink = sink if sink is not None else NullSink()
+    summary_rows = []
+    for rule in rules:
+        if not rule.get("is_active", True):          # dq_engine.py:27
+            continue
+        key = (rule["rule_type"], rule["logic_implementation"])
+        params = json.loads(rule.get("parameters") or "{}")
+        try:
+            executor = DISPATCH.get(key)
+            if executor is None:
+                if rule["logic_implementation"] == "SQL_QUERY":
+                    executor = execute_generic_sql   # generic arm (:258-268)
+                else:
+                    raise ValueError(f"No executor for {key}")
+            res: RuleResult = executor(spark, rule, params, sink)
+        except Exception as exc:                      # isolation (:125-138)
+            res = RuleResult("", C.ERROR, f"{type(exc).__name__}: {exc}")
+            rule["_traceback"] = traceback.format_exc()
+        summary_rows.append(
+            (
+                int(rule["rule_id"]),
+                rule["rule_name"],
+                rule.get("segment_value", ""),
+                rule["rule_type"],
+                rule["logic_implementation"],
+                res.result_value,
+                res.indicator,
+                res.error_message,
+            )
+        )
+    summary = spark.createDataFrame(summary_rows, DQ_RESULTS_SCHEMA)
+    if write_summary and not isinstance(sink, NullSink):
+        sink.append(summary, "dq_results")
+    return summary
+
+
+def read_results(spark: SparkSession, sink: ResultSink) -> DataFrame:
+    """Reference return value: the DQ_RESULTS handle (dq_engine.py:141)."""
+    return sink.read(spark, "dq_results").orderBy(
+        F.col("execution_timestamp").desc()
+    )

@@ -435,3 +435,32 @@ SELECT event_type, CAST(event_date AS {s}) AS event_date,
               AND abs(daily_total - avg_value) > {C.SIGMA_BAND} * std_value
          THEN 1 ELSE 0 END AS INT) AS is_anomaly
 FROM banded"""
+
+
+# ========================================================= the engine run ==
+
+
+def _engine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full catalog run through the dispatch engine (dq_engine.py:87-138):
+    one summary row per rule, FAIL iff violation count > 0. Detail writes go
+    to a NullSink so the query is side-effect-free and deterministic."""
+    from .catalog import DEFAULT_CATALOG
+    from .engine import run_catalog
+
+    load_tables(spark, sf_dir, TABLES)
+    rules = [dict(r) for r in DEFAULT_CATALOG]
+    return run_catalog(spark, rules, sink=None, write_summary=False).select(
+        "rule_id", "rule_name", "rule_type", "result_value", "indicator"
+    )
+
+
+def _register_engine_summary() -> None:
+    from .catalog import summary_oracle_sql
+
+    _REGISTRY["dq_engine_summary"] = {
+        "spark": _engine_summary,
+        "oracle": summary_oracle_sql(),
+    }
+
+
+_register_engine_summary()

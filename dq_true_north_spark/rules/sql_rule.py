@@ -1,0 +1,120 @@
+"""SQL-passthrough rule family.
+
+Reference: execute_sql_rule (dq_rules_library.py:55-277) — run catalog-
+authored SQL, verdict trichotomy on the first cell of the first row:
+value > 0 → FAIL, NULL → FAIL, zero rows → ERROR (:109-123, :259-267).
+Flavors: UNIQUENESS (inner-query duplicate groups, :67-99), COMPLETENESS
+(1-col count or 4-col detail, :101-165), ROLLING_AVERAGE (generated window
+SQL, :167-256).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import constants as C
+from .base import RuleResult
+
+
+def execute_generic_sql(spark: SparkSession, rule: dict, params: dict, sink) -> RuleResult:
+    rows = spark.sql(rule["logic_definition"]).limit(2).collect()
+    if not rows:  # empty result → ERROR (:118-123)
+        return RuleResult("", C.ERROR, "Query returned no rows")
+    first = rows[0][0]
+    if first is None:  # NULL → FAIL (:113-117)
+        return RuleResult("NULL", C.FAIL)
+    try:
+        violations = int(first)
+    except (TypeError, ValueError):
+        return RuleResult(str(first), C.ERROR, "Non-numeric scalar result")
+    return RuleResult.from_count(violations)
+
+
+def execute_uniqueness_sql(spark: SparkSession, rule: dict, params: dict, sink) -> RuleResult:
+    """logic_definition holds the inner row-set query directly (the rebuild
+    drops the reference's regex extraction of `FROM (...) as dupes`, :69-72;
+    SURVEY.md §3.2)."""
+    inner = spark.sql(rule["logic_definition"])
+    cols = inner.columns
+    groups = (
+        inner.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("duplicate_count"))
+        .filter(F.col("duplicate_count") > 1)
+        .cache()
+    )
+    try:
+        n = groups.count()
+        if n > 0:
+            sink.append(
+                groups.select(
+                    F.lit(rule["rule_name"]).alias("rule_name"),
+                    F.to_json(F.struct(*cols)).alias("duplicate_values"),
+                    F.col("duplicate_count"),
+                ),
+                params.get("details_table", "dq_duplicate_details"),
+            )
+    finally:
+        groups.unpersist()
+    return RuleResult.from_count(n)
+
+
+def execute_completeness_sql(spark: SparkSession, rule: dict, params: dict, sink) -> RuleResult:
+    """1-col result = violation count; 4-col = (rule, expected_date,
+    actual_max_date, days_missing). Always logs a completeness detail row
+    (:130-157)."""
+    rows = spark.sql(rule["logic_definition"]).collect()
+    if not rows:
+        return RuleResult("", C.ERROR, "Query returned no rows")
+    row = rows[0]
+    if len(row) >= 4:
+        expected, actual, missing = str(row[1]), str(row[2]), int(row[3])
+        violations = 1 if missing > 0 else 0
+    else:
+        missing = int(row[0] or 0)
+        expected, actual = "", ""
+        violations = missing
+    detail = spark.createDataFrame(
+        [(rule["rule_name"], expected, actual, missing)],
+        "rule_name string, expected_date string, actual_max_date string, days_missing int",
+    )
+    sink.append(detail, params.get("details_table", "dq_details_completeness"))
+    return RuleResult.from_count(violations)
+
+
+def execute_rolling_average(spark: SparkSession, rule: dict, params: dict, sink) -> RuleResult:
+    """Trailing-window average per segment, latest row per segment via the
+    QUALIFY ROW_NUMBER()=1 pattern (:190-205); always PASS, logs the averages
+    (:239)."""
+    src = params["source_table"]
+    metric = params["metric_column"]
+    date_col = params["date_column"]
+    w = int(params.get("window_size", C.ROLLING_WINDOW_DAYS))
+    segs = params.get("segment_columns", [])
+    order_keys = [date_col] + params.get("tiebreak_columns", [])
+
+    df = spark.table(src)
+    win = (
+        Window.partitionBy(*segs)
+        .orderBy(*[F.col(k) for k in order_keys])
+        .rowsBetween(-(w - 1), 0)
+    )
+    latest = Window.partitionBy(*segs).orderBy(
+        *[F.col(k).desc() for k in order_keys]
+    )
+    out = (
+        df.withColumn("average_value", F.round(F.avg(metric).over(win), 4))
+        .withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit(rule["rule_name"]).alias("rule_name"),
+            F.to_json(F.struct(*segs)).alias("segment_value") if segs
+            else F.lit("{}").alias("segment_value"),
+            F.lit(metric).alias("metric_column"),
+            F.col("average_value"),
+            F.col(date_col).cast("string").alias("calculation_date"),
+        )
+    )
+    n_segments = out.count()
+    sink.append(out, params.get("details_table", "dq_details_rolling_average"))
+    return RuleResult(str(n_segments), C.PASS)  # informational rule (:239)

@@ -1,0 +1,127 @@
+"""Engine mechanics: detail-table writes, error isolation, append-only sink.
+
+Models the reference's operational posture (SURVEY.md §5): verdict trichotomy
+makes rule bugs visible as ERROR rows instead of crashing the run
+(dq_engine.py:125-138).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dq_true_north_spark import constants as C
+from dq_true_north_spark.catalog import DEFAULT_CATALOG
+from dq_true_north_spark.engine import run_catalog
+from dq_true_north_spark.io import ResultSink
+from dq_true_north_spark.session import load_tables
+from tests.conftest import SF_DIR, TABLES
+
+
+@pytest.fixture(scope="module")
+def sink(tmp_path_factory):
+    return ResultSink(str(tmp_path_factory.mktemp("dq_results")))
+
+
+def test_full_catalog_run_with_sink(spark, sink):
+    load_tables(spark, SF_DIR, TABLES)
+    summary = run_catalog(spark, [dict(r) for r in DEFAULT_CATALOG], sink=sink)
+    rows = {r["rule_name"]: r for r in summary.collect()}
+    assert len(rows) == len(DEFAULT_CATALOG)
+    # universal convention: FAIL iff violation count > 0
+    for name, r in rows.items():
+        if r["indicator"] in (C.PASS, C.FAIL) and r["result_value"].isdigit():
+            expected = C.FAIL if int(r["result_value"]) > 0 else C.PASS
+            if name != "events_rolling_average":  # informational, always PASS
+                assert r["indicator"] == expected, name
+    # summary persisted with execution_timestamp appended
+    persisted = sink.read(spark, "dq_results")
+    assert persisted.count() == len(DEFAULT_CATALOG)
+    assert "execution_timestamp" in persisted.columns
+    # a failing rule must have produced detail rows
+    spike = rows["events_value_spike_dip"]
+    if spike.extra if hasattr(spike, "extra") else False:
+        pass
+    if int(rows["events_sustained_trend"]["result_value"]) > 0:
+        details = sink.read(spark, "dq_sustained_trend_details")
+        assert details.count() >= int(rows["events_sustained_trend"]["result_value"])
+
+
+def test_append_only_double_run(spark, sink):
+    """Reference appends on every run (dq_rules_library.py:44) — two runs,
+    twice the summary rows."""
+    load_tables(spark, SF_DIR, TABLES)
+    run_catalog(spark, [dict(DEFAULT_CATALOG[0])], sink=sink)
+    n1 = sink.read(spark, "dq_results").count()
+    run_catalog(spark, [dict(DEFAULT_CATALOG[0])], sink=sink)
+    n2 = sink.read(spark, "dq_results").count()
+    assert n2 == n1 + 1
+
+
+def test_error_isolation(spark):
+    """A broken rule yields an ERROR row; later rules still run
+    (dq_engine.py:125-138)."""
+    load_tables(spark, SF_DIR, TABLES)
+    bad = {
+        "rule_id": 99, "rule_name": "broken_sql", "rule_type": "GENERIC",
+        "logic_implementation": "SQL_QUERY",
+        "logic_definition": "SELECT * FROM table_that_does_not_exist",
+        "parameters": "{}", "segment_value": "", "is_active": True,
+    }
+    good = dict(DEFAULT_CATALOG[2])
+    summary = run_catalog(spark, [bad, good], write_summary=False)
+    rows = {r["rule_name"]: r for r in summary.collect()}
+    assert rows["broken_sql"]["indicator"] == C.ERROR
+    assert rows["broken_sql"]["error_message"] != ""
+    assert rows["customer_acctbal_negative"]["indicator"] in (C.PASS, C.FAIL)
+
+
+def test_verdict_trichotomy(spark):
+    """value>0 → FAIL, NULL → FAIL, empty → ERROR
+    (dq_rules_library.py:109-123,259-267)."""
+    cases = [
+        ("SELECT 5", C.FAIL),
+        ("SELECT 0", C.PASS),
+        ("SELECT NULL", C.FAIL),
+        ("SELECT 1 WHERE 1 = 0", C.ERROR),
+    ]
+    for sql, expected in cases:
+        rule = {
+            "rule_id": 1, "rule_name": "t", "rule_type": "GENERIC",
+            "logic_implementation": "SQL_QUERY", "logic_definition": sql,
+            "parameters": "{}", "segment_value": "", "is_active": True,
+        }
+        summary = run_catalog(spark, [rule], write_summary=False)
+        assert summary.first()["indicator"] == expected, sql
+
+
+def test_inactive_rules_skipped(spark):
+    rule = dict(DEFAULT_CATALOG[0])
+    rule["is_active"] = False
+    summary = run_catalog(spark, [rule], write_summary=False)
+    assert summary.count() == 0
+
+
+def test_duplicate_check_normalization(spark, sink):
+    """Case-insensitive + rounded normalization (dq_rules_library.py:310-313)."""
+    df = spark.createDataFrame(
+        [("A", 1.001), ("a", 1.0012), ("b", 2.0)], "k string, v double"
+    )
+    df.createOrReplaceTempView("dup_norm_src")
+    rule = {
+        "rule_id": 50, "rule_name": "dup_norm", "rule_type": "DUPLICATE_CHECK",
+        "logic_implementation": "SNOWPARK_FUNC",
+        "logic_definition": "",
+        "parameters": json.dumps({
+            "source_table": "dup_norm_src",
+            "columns_to_check": ["k", "v"],
+            "case_insensitive_columns": ["k"],
+            "numeric_columns_to_round": {"v": 2},
+        }),
+        "segment_value": "", "is_active": True,
+    }
+    summary = run_catalog(spark, [rule], sink=sink)
+    row = summary.first()
+    assert row["indicator"] == C.FAIL
+    assert row["result_value"] == "1"  # one duplicate group: (A, 1.00)
