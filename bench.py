@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line per the driver contract:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: corpus-pipeline docs/sec (langid + perplexity + heuristics
++ exact dedup + scrub, fully materialized) on the synthetic CC-style corpus
+at the bench scale, plus per-query wall times for representative operators.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dq_true_north_spark.corpus import n_pages_for_sf, pages_df  # noqa: E402
+from dq_true_north_spark.session import get_spark  # noqa: E402
+from dq_true_north_spark.textquality.pipeline import compute_verdicts  # noqa: E402
+from dq_true_north_spark import queries as Q  # noqa: E402
+
+HEADLINE_QUERIES = (
+    "doc_verdicts",
+    "doc_metrics",
+    "dq_engine_summary",
+    "spike_dip_events",
+    "sigma_bands_events",
+    "historical_completeness_events",
+    "cosine_topk_embeddings",
+    "minhash_pairs_pages",
+    "scrub_documents",
+)
+
+
+def materialize(df) -> int:
+    """Force full computation of every column (count alone would let
+    Catalyst prune the expensive ones)."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.length(F.col(c.name).cast("string"))).alias(f"_{c.name}")
+            for c in df.schema.fields[:6]
+        ],
+    ).first()
+    return row["n"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="dq-bench", master=f"local[{cpus}]",
+        shuffle_partitions=str(max(int(cpus), 8)),
+        # shuffle on tmpfs: the sandbox's single shared disk otherwise
+        # dominates timings; a real cluster shuffles over NVMe + network
+        extra_conf={"spark.local.dir": "/dev/shm/spark-bench"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    reg = Q.registry()
+
+    # warm the JVM + Python worker pool once (excluded from timings)
+    compute_verdicts(pages_df(spark, 2_000, int(cpus))).count()
+
+    # materialize the corpus to parquet once (untimed — stands in for the
+    # Iceberg table the production pipeline reads; generation is not the
+    # system under test)
+    n_pages = n_pages_for_sf(sf_dir)
+    pages_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".data", f"pages_{n_pages}"
+    )
+    if not os.path.isdir(pages_path):
+        pages_df(spark, n_pages, int(cpus)).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    # headline: full pipeline throughput — cold then steady-state
+    def one_run() -> tuple[int, float]:
+        t0 = time.perf_counter()
+        n = materialize(compute_verdicts(pages))
+        return n, time.perf_counter() - t0
+
+    n, dt_cold = one_run()
+    _, dt_warm = one_run()
+    timings["pipeline_cold"] = round(dt_cold, 3)
+    timings["pipeline_steady"] = round(dt_warm, 3)
+    docs_per_sec = round(n / dt_warm, 1)
+
+    for name in HEADLINE_QUERIES:
+        fn = reg[name]["spark"]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_pipeline_docs_per_sec",
+                "value": docs_per_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": int(cpus),
+                "pipeline_docs": n,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,8 @@ MAX_BULLET_LINE_FRACTION = 0.90
 MAX_DUP_LINE_FRACTION = 0.30          # repeated-line rule (exact-line hashing)
 MAX_PERPLEXITY = 1500.0               # char-bigram LM threshold
 ALLOWED_LANGS = ("en", "fr", "es", "de", "zh")
-MIN_LANG_CONFIDENCE = 0.30
+LATIN_LANGS = ("en", "fr", "es", "de", "it")  # word-level rules apply
+MIN_LANG_CONFIDENCE = 0.90  # calibrated vs langmodel softmax temp 4.0
 
 STOPWORDS = (
     "the", "be", "to", "of", "and", "a", "in", "that", "have", "i",

@@ -437,6 +437,277 @@ SELECT event_type, CAST(event_date AS {s}) AS event_date,
 FROM banded"""
 
 
+# ================================================= dashboard analytics =====
+
+
+@sql_query("top_k_days_events")
+def q_top_k_days(d: str) -> str:
+    """Top-k chart bound (streamlit.py:1109,1162,1214: sort desc + limit) —
+    Spark executes this as TakeOrderedAndProject, no full sort."""
+    s = _str_t(d)
+    return f"""
+SELECT event_type, CAST(event_date AS {s}) AS event_date,
+       round(daily_total, 4) AS daily_total
+FROM (
+  SELECT event_type, CAST(ts AS DATE) AS event_date, SUM(value) AS daily_total
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+) t
+ORDER BY daily_total DESC, event_type, event_date
+LIMIT 20"""
+
+
+@sql_query("spike_overlay_join")
+def q_spike_overlay(d: str) -> str:
+    """Spike overlay: daily series LEFT JOIN spike-event days — the one
+    join in the reference, done client-side in pandas (streamlit.py:1114);
+    here it is a server-side broadcastable left join."""
+    s = _str_t(d)
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date, SUM(value) AS daily_total
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+spikes AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS event_date
+  FROM (
+    SELECT event_type, ts, value,
+        LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+    FROM events
+  ) x
+  WHERE prev IS NOT NULL AND prev <> 0
+    AND abs((value - prev) / prev) >= {C.SPIKE_THRESHOLD}
+)
+SELECT daily.event_type, CAST(daily.event_date AS {s}) AS event_date,
+       round(daily.daily_total, 4) AS daily_total,
+       CAST(CASE WHEN spikes.event_type IS NULL THEN 0 ELSE 1 END AS INT) AS has_spike
+FROM daily LEFT JOIN spikes
+  ON daily.event_type = spikes.event_type
+ AND daily.event_date = spikes.event_date"""
+
+
+@sql_query("json_props_extract")
+def q_json_props(d: str) -> str:
+    """Semi-structured access: the reference stores VARIANT/JSON payloads
+    and parses them on read (object_construct dq_rules_library.py:83-87;
+    json.loads streamlit.py:56,100). Server-side JSON path extraction +
+    aggregation over the extracted key."""
+    if d == SPARK:
+        k = "CAST(get_json_object(props, '$.k') AS INT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS INT)"
+    return f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM({k}) AS k_total,
+       round(AVG({k}), 4) AS k_avg
+FROM events
+GROUP BY event_type"""
+
+
+# ============================================ dedup / similarity search ====
+
+
+@sql_query("cosine_topk_embeddings")
+def q_cosine_topk(d: str) -> str:
+    """Brute-force cosine top-k over the embeddings table for a probe set
+    (vec_id % 100 = 0). Spark: broadcast probe side + JVM higher-order
+    functions (zip_with/aggregate); the corpus is scanned once. Ties broken
+    by neighbor_id for cross-engine determinism."""
+    if d == SPARK:
+        dot = ("aggregate(zip_with(qe, e.embedding, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), "
+               "CAST(0.0 AS DOUBLE), (a,v)->a+v)")
+        nq = ("sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), "
+              "CAST(0.0 AS DOUBLE), (a,v)->a+v))")
+        nn = ("sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), "
+              "CAST(0.0 AS DOUBLE), (a,v)->a+v))")
+        qsel = "SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0"
+    else:
+        dot = "list_dot_product(qe, CAST(e.embedding AS DOUBLE[]))"
+        nq = "sqrt(list_dot_product(qe, qe))"
+        nn = "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        qsel = "SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id % 100 = 0"
+    return f"""
+WITH q AS ({qsel}),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         {dot} / ({nq} * {nn}) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+FROM ranked WHERE rank <= {C.COSINE_TOPK}"""
+
+
+@sql_query("ngram_jaccard_pairs")
+def q_ngram_jaccard(d: str) -> str:
+    """Word-3-gram Jaccard near-dup pairs, blocked by source to bound the
+    pair space (at corpus scale the blocking key is the LSH band instead —
+    see textquality/dedup.py)."""
+    w = spec.words(d, "lower(text)")
+    if d == SPARK:
+        sh = (f"array_distinct(transform(sequence(1, greatest(size({w}) - 2, 0)), "
+              f"i -> concat_ws(' ', slice({w}, i, 3))))")
+        inter = "size(array_intersect(a.sh, b.sh))"
+        sz = "size"
+    else:
+        sh = (f"list_distinct(list_transform(generate_series(1, greatest(len({w}) - 2, 0)), "
+              f"i -> array_to_string(list_slice({w}, i, i + 2), ' ')))")
+        inter = "len(list_intersect(a.sh, b.sh))"
+        sz = "len"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, source, {sh} AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST({inter} AS DOUBLE) /
+             nullif({sz}(a.sh) + {sz}(b.sh) - {inter}, 0), 4) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST({inter} AS DOUBLE) /
+      nullif({sz}(a.sh) + {sz}(b.sh) - {inter}, 0) >= 0.10"""
+
+
+@df_query("minhash_pairs_pages")
+def q_minhash_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates over the synthetic corpus — finds the
+    planted exact-dup pairs (class 7/8) with est_jaccard 1.0. Signatures are
+    computed without exploding shingles; the band groupBy is the only
+    shuffle (see dedup.py)."""
+    from .corpus import n_pages_for_sf, pages_df
+    from .textquality.dedup import minhash_candidate_pairs
+
+    pages = pages_df(spark, min(n_pages_for_sf(sf_dir), 10_000))
+    return minhash_candidate_pairs(pages, id_col="url", text_col="text")
+
+
+@df_query("simhash_pairs_pages")
+def q_simhash_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via 16-bit chunk bucketing."""
+    from .corpus import n_pages_for_sf, pages_df
+    from .textquality.dedup import simhash_near_pairs
+
+    pages = pages_df(spark, min(n_pages_for_sf(sf_dir), 4_000))
+    return simhash_near_pairs(pages, id_col="url", text_col="text")
+
+
+@df_query("ann_lsh_embeddings")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (random hyperplanes) —
+    the scale path next to brute-force cosine_topk_embeddings."""
+    from .textquality.similarity import ann_lsh_topk
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return ann_lsh_topk(emb, dim=64, query_filter="vec_id % 100 = 0", n_planes=4, n_tables=8)
+
+
+@df_query("doc_fingerprints")
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (Arrow-batched UDF)."""
+    from pyspark.sql import functions as F
+
+    from .textquality.fingerprint import fingerprint_udf
+
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.table("documents").select(
+        "doc_id", fingerprint_udf(F.col("text")).alias("fingerprint")
+    )
+
+
+@df_query("media_meta_pages")
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary column → mapInPandas metadata extraction
+    (decode stubbed, Spark-side machinery real — multimodal.py)."""
+    from .corpus import pages_df
+    from .textquality.multimodal import decode_media_meta
+
+    pages = pages_df(spark, 2_000)
+    return decode_media_meta(pages, binary_col="html")
+
+
+# ===================================================== corpus pipeline =====
+
+
+def _scrub_documents_template(d: str) -> str:
+    from .textquality.scrub import scrub_sql_expr
+
+    return (
+        f"SELECT doc_id, {scrub_sql_expr(d == SPARK, 'text')} AS scrubbed_text "
+        f"FROM documents"
+    )
+
+
+def _register_scrub() -> None:
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, TABLES)
+        return spark.sql(_scrub_documents_template(SPARK))
+
+    _REGISTRY["scrub_documents"] = {
+        "spark": spark_fn,
+        "oracle": _scrub_documents_template(DUCK),
+    }
+
+
+_register_scrub()
+
+
+@df_query("pages_pipeline_verdicts")
+def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus pipeline (north_rule): langid + perplexity UDF stages
+    + heuristics + exact dedup + scrub over the deterministic synthetic
+    Common-Crawl-style pages table (corpus.py). Not SQL-expressible (model
+    UDFs) → rows-only driver check; full parity vs the golden reference
+    implementation is enforced in tests/test_pipeline.py."""
+    from pyspark.sql import functions as F
+
+    from .corpus import n_pages_for_sf, pages_df
+    from .textquality.pipeline import compute_verdicts
+
+    pages = pages_df(spark, n_pages_for_sf(sf_dir))
+    v = compute_verdicts(pages)
+    return v.select(
+        "url",
+        F.col("warc_ts").cast("string").alias("warc_ts"),
+        F.col("keep").cast("int").alias("keep"),
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+        "pred_lang",
+        F.round("lang_confidence", 4).alias("lang_confidence"),
+        F.round("perplexity", 2).alias("perplexity"),
+        "scrubbed_text",
+    )
+
+
+@df_query("pages_pipeline_summary")
+def q_pages_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup of the flagship pipeline (pass-rate analog)."""
+    from .corpus import n_pages_for_sf, pages_df
+    from .textquality.pipeline import compute_verdicts, verdict_summary
+
+    pages = pages_df(spark, n_pages_for_sf(sf_dir))
+    return verdict_summary(compute_verdicts(pages, with_scrub=False))
+
+
+@df_query("langid_documents")
+def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID agreement between the hashed-char-trigram model and the
+    documents table's lang label (model-based → rows-only check)."""
+    from pyspark.sql import functions as F
+
+    from .session import load_tables as _lt
+    from .textquality.udfs import langid_udf
+
+    _lt(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    s = langid_udf(F.col("text"))
+    return docs.select(
+        "doc_id", "lang",
+        s.getField("pred_lang").alias("pred_lang"),
+        F.round(s.getField("lang_confidence"), 4).alias("lang_confidence"),
+    )
+
+
 # ========================================================= the engine run ==
 
 

@@ -45,7 +45,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # broadcast small dims (rule catalog, lexicons) aggressively
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

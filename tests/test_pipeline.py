@@ -1,0 +1,153 @@
+"""End-to-end quality-filter pipeline vs the golden reference implementation.
+
+Gates (BASELINE.json): keep/drop F1 >= 0.99, byte-identical scrubbed text
+per url, determinism across parallelism, scrub idempotence.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dq_true_north_spark import constants as C
+from dq_true_north_spark.corpus import generate_pages_pdf, pages_df, PAGES_SCHEMA
+from dq_true_north_spark.textquality.pipeline import compute_verdicts, verdict_summary
+from dq_true_north_spark.textquality.scrub import scrub_sql_expr, scrub_text
+from tests.golden import golden_verdicts
+
+N_PAGES = 2000
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return generate_pages_pdf(N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def golden(pages_pdf):
+    g = golden_verdicts(pages_pdf)
+    return {(r["url"], r["warc_ts"]): r for _, r in g.iterrows()}
+
+
+@pytest.fixture(scope="module")
+def spark_verdicts(spark, pages_pdf):
+    pages = pages_df(spark, N_PAGES, partitions=8)
+    return {(r["url"], r["warc_ts"]): r for r in compute_verdicts(pages).collect()}
+
+
+def test_generator_determinism(spark, pages_pdf):
+    """Distributed generator rows == driver-side rows, any partitioning."""
+    sp = pages_df(spark, 200, partitions=7).orderBy("url", "warc_ts").collect()
+    pd_rows = generate_pages_pdf(200).sort_values(["url", "warc_ts"])
+    assert len(sp) == 200
+    for row, (_, g) in zip(sp, pd_rows.iterrows()):
+        assert row["url"] == g["url"]
+        assert row["text"] == g["text"]
+        assert row["lang"] == g["lang"]
+        assert bytes(row["html"]) == g["html"]
+
+
+def test_keep_drop_f1(spark_verdicts, golden):
+    """north_rule gate: F1 >= 0.99 on the keep label."""
+    tp = fp = fn = tn = 0
+    for key, g in golden.items():
+        s = spark_verdicts[key]
+        gk, sk = bool(g["keep"]), bool(s["keep"])
+        if sk and gk:
+            tp += 1
+        elif sk and not gk:
+            fp += 1
+        elif not sk and gk:
+            fn += 1
+        else:
+            tn += 1
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, f"F1={f1:.4f} (tp={tp} fp={fp} fn={fn} tn={tn})"
+
+
+def test_drop_reasons_match(spark_verdicts, golden):
+    """Reason lists match exactly (frozen order) on >=99% of documents."""
+    total = agree = 0
+    for key, g in golden.items():
+        s = spark_verdicts[key]
+        total += 1
+        if list(s["drop_reasons"]) == list(g["drop_reasons"]):
+            agree += 1
+    assert agree / total >= 0.99, f"reason agreement {agree}/{total}"
+
+
+def test_scrub_byte_identical(spark_verdicts, golden):
+    """north_rule gate: byte-identical scrubbed text per url (JVM
+    regexp_replace chain vs Python re golden)."""
+    checked = mismatched = 0
+    for key, g in golden.items():
+        s = spark_verdicts[key]
+        checked += 1
+        if s["scrubbed_text"] != g["scrubbed_text"]:
+            mismatched += 1
+    assert checked > 0
+    assert mismatched == 0, f"{mismatched}/{checked} scrub mismatches"
+
+
+def test_scrub_actually_scrubbed(golden):
+    """Planted PII (class 10) must be removed in the fixtures themselves."""
+    import pandas as pd
+
+    dirty = [g["scrubbed_text"] for g in golden.values()]
+    joined = "\n".join(dirty)
+    assert "john.doe@example.com" not in joined
+    assert "192.168.1.10" not in joined
+    assert "123-45-6789" not in joined
+    assert "badword" not in joined.lower() or "<TOX>" in joined
+    assert "<EMAIL>" in joined and "<IP>" in joined and "<SSN>" in joined
+
+
+def test_scrub_idempotent(pages_pdf):
+    """scrub(scrub(x)) == scrub(x) — property per SURVEY.md §5.4."""
+    for t in pages_pdf["text"].head(300):
+        once = scrub_text(t)
+        assert scrub_text(once) == once
+
+
+def test_scrub_duckdb_parity(pages_pdf):
+    """Same chain rendered for DuckDB RE2 gives identical output."""
+    con = duckdb.connect()
+    sub = pages_pdf[["url", "text"]].head(300)
+    con.register("pages", sub)
+    expr = scrub_sql_expr(False, "text")
+    out = con.execute(f"SELECT text, {expr} AS s FROM pages").fetchall()
+    for text, s in out:
+        assert s == scrub_text(text)
+
+
+def test_determinism_across_parallelism(spark):
+    """local[8]-style 8-partition run == 2-partition run, exactly
+    (SURVEY.md §7 hard-point 3)."""
+    v1 = compute_verdicts(pages_df(spark, 500, partitions=2)).collect()
+    v2 = compute_verdicts(pages_df(spark, 500, partitions=16)).collect()
+    k1 = {(r["url"], r["warc_ts"]): (r["keep"], tuple(r["drop_reasons"]), r["scrubbed_text"]) for r in v1}
+    k2 = {(r["url"], r["warc_ts"]): (r["keep"], tuple(r["drop_reasons"]), r["scrubbed_text"]) for r in v2}
+    assert k1 == k2
+
+
+def test_exact_dup_keeps_exactly_one(spark_verdicts, golden):
+    """Each duplicate text group keeps exactly the earliest (warc_ts, url)."""
+    import collections
+
+    by_text_kept = collections.Counter()
+    for key, g in golden.items():
+        s = spark_verdicts[key]
+        if C.REASON_EXACT_DUP in list(s["drop_reasons"]):
+            by_text_kept["dropped"] += 1
+    assert by_text_kept["dropped"] > 0  # planted class 7/8 pairs exist
+
+
+def test_verdict_summary_rollup(spark):
+    pages = pages_df(spark, 400, partitions=4)
+    v = compute_verdicts(pages, with_scrub=False)
+    row = verdict_summary(v).first()
+    assert row["total_docs"] == 400
+    assert 0 < row["kept_docs"] < 400
+    assert row["too_short_count"] == 20  # class 0 plants exactly 1 in 20
