@@ -94,7 +94,7 @@ def q_doc_metrics(d: str) -> str:
 def q_doc_drop_flags(d: str) -> str:
     """Per-document 0/1 flag per heuristic drop reason (Gopher/C4 rules)."""
     cols = ",\n      ".join(
-        f"CAST(({pred}) AS INT) AS {reason}"
+        f"CAST(COALESCE(({pred}), FALSE) AS INT) AS {reason}"
         for reason, pred in spec.heuristic_drop_predicates(d, "text")
     )
     return f"SELECT doc_id,\n      {cols}\nFROM documents"
@@ -109,7 +109,7 @@ def _verdict_cte(d: str) -> str:
     per SURVEY.md §7 hard-point 3 (stable key, never first() unordered).
     """
     flags = ",\n      ".join(
-        f"CAST(({pred}) AS INT) AS {reason}"
+        f"CAST(COALESCE(({pred}), FALSE) AS INT) AS {reason}"
         for reason, pred in spec.heuristic_drop_predicates(d, "text")
     )
     langs = ", ".join(f"'{x}'" for x in C.ALLOWED_LANGS)
@@ -155,11 +155,13 @@ def q_doc_pass_rate(d: str) -> str:
     heur = [r for r, _ in spec.heuristic_drop_predicates(d, "text")]
     reasons = heur + [C.REASON_EXACT_DUP, C.REASON_BAD_LANG]
     any_drop = " + ".join(reasons)
-    sums = ",\n    ".join(f"SUM({r}) AS {r}_count" for r in reasons)
+    sums = ",\n    ".join(
+        f"CAST(SUM({r}) AS BIGINT) AS {r}_count" for r in reasons
+    )
     return f"""{_verdict_cte(d)}
 SELECT
     COUNT(*) AS total_docs,
-    SUM(CASE WHEN ({any_drop}) = 0 THEN 1 ELSE 0 END) AS kept_docs,
+    CAST(SUM(CASE WHEN ({any_drop}) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
     {sums}
 FROM verd"""
 
@@ -169,7 +171,10 @@ def q_doc_token_counts(d: str) -> str:
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
     ws = spec.n_words(d, "text")
     bpe = spec.bpe_token_count(d, "text")
-    return f"SELECT doc_id, {ws} AS ws_tokens, {bpe} AS bpe_tokens FROM documents"
+    return (
+        f"SELECT doc_id, CAST({ws} AS BIGINT) AS ws_tokens, "
+        f"CAST({bpe} AS BIGINT) AS bpe_tokens FROM documents"
+    )
 
 
 @sql_query("doc_quality_score")
@@ -204,6 +209,31 @@ HAVING COUNT(*) > 1"""
 
 
 # ============================================================== dup rules ==
+
+
+@sql_query("dup_details_orders")
+def q_dup_details_orders(d: str) -> str:
+    """The duplicate rule's DETAIL rows — group keys packed into a JSON
+    object column, the rebuild of the reference's VARIANT object_construct
+    (dq_rules_library.py:331-345 → DQ_DUPLICATE_DETAILS). to_json output is
+    byte-identical across Spark and DuckDB for these field types."""
+    if d == SPARK:
+        packed = (
+            "to_json(struct(o_custkey, "
+            "CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date))"
+        )
+    else:
+        packed = (
+            "to_json(struct_pack(o_custkey := o_custkey, "
+            "order_date := CAST(CAST(o_orderdate AS DATE) AS VARCHAR)))"
+        )
+    return f"""
+SELECT 'orders_cust_date_dups' AS rule_name,
+       {packed} AS duplicate_values,
+       COUNT(*) AS duplicate_count
+FROM orders
+GROUP BY 2
+HAVING COUNT(*) > 1"""
 
 
 @sql_query("dup_orders_cust_date")
@@ -376,15 +406,15 @@ def q_historical_completeness(d: str) -> str:
 WITH g AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events),
 agg AS (
   SELECT event_type AS dataset_name,
-      SUM(CASE WHEN CAST(ts AS DATE) > {_date_sub(d, "g.maxd", lb)}
-               THEN 1 ELSE 0 END) AS actual_count,
-      SUM(CASE WHEN CAST(ts AS DATE) > {_date_sub(d, "g.maxd", lb + 1)}
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) > {_date_sub(d, "g.maxd", lb)}
+               THEN 1 ELSE 0 END) AS BIGINT) AS actual_count,
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) > {_date_sub(d, "g.maxd", lb + 1)}
                 AND CAST(ts AS DATE) <= {_date_sub(d, "g.maxd", 1)}
-               THEN 1 ELSE 0 END) AS previous_cumulative_count,
-      SUM(CASE WHEN CAST(ts AS DATE) = {_date_sub(d, "g.maxd", lb)}
-               THEN 1 ELSE 0 END) AS dropped_day_count,
-      SUM(CASE WHEN CAST(ts AS DATE) = g.maxd THEN 1 ELSE 0 END)
-          AS newest_day_count
+               THEN 1 ELSE 0 END) AS BIGINT) AS previous_cumulative_count,
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) = {_date_sub(d, "g.maxd", lb)}
+               THEN 1 ELSE 0 END) AS BIGINT) AS dropped_day_count,
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) = g.maxd THEN 1 ELSE 0 END)
+          AS BIGINT) AS newest_day_count
   FROM events, g
   GROUP BY event_type
 )
@@ -498,7 +528,7 @@ def q_json_props(d: str) -> str:
     return f"""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM({k}) AS k_total,
+       CAST(SUM({k}) AS BIGINT) AS k_total,
        round(AVG({k}), 4) AS k_avg
 FROM events
 GROUP BY event_type"""

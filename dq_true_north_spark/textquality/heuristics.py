@@ -26,7 +26,7 @@ def all_metrics(text_col: str = "text") -> list[Column]:
 def drop_flag_columns(text_col: str = "text") -> list[Column]:
     """One 0/1 column per heuristic drop reason, evaluated in a single pass."""
     return [
-        F.expr(f"CAST(({pred}) AS INT)").alias(reason)
+        F.expr(f"CAST(COALESCE(({pred}), FALSE) AS INT)").alias(reason)
         for reason, pred in spec.heuristic_drop_predicates(spec.SPARK, text_col)
     ]
 

@@ -17,6 +17,14 @@ from .. import constants as C
 
 SPARK, DUCK = "spark", "duck"
 
+# Cross-engine regex caveat (documented contract): `\s` is ASCII-only in
+# Java regex and RE2 but Unicode-aware in Python `re`. The frozen spec
+# therefore defines a "word" over ASCII whitespace only, and the supported
+# input domain is printable text whose whitespace is ASCII (true for
+# extracted web text after normalization — and enforced by the property
+# tests in tests/test_properties.py over that alphabet). Unicode whitespace
+# (NBSP etc.) must be normalized upstream of the filter.
+
 
 def _rx(dialect: str, pattern: str) -> str:
     """Render a regex as a string literal for the dialect.

@@ -41,10 +41,8 @@ def heuristic_reasons(text: str) -> list[str]:
     low = [w.lower() for w in words]
     n_stop = sum(1 for w in low if w in _STOPSET)
     distinct_stop = len({w for w in low if w in _STOPSET})
-    if nw and (
-        round(n_stop / nw, 4) < C.MIN_STOPWORD_FRACTION
-        or distinct_stop < C.MIN_DISTINCT_STOPWORDS
-    ):
+    frac_low = nw > 0 and round(n_stop / nw, 4) < C.MIN_STOPWORD_FRACTION
+    if frac_low or distinct_stop < C.MIN_DISTINCT_STOPWORDS:
         reasons.append(C.REASON_STOPWORDS)
     n_alpha = sum(1 for w in words if _ALPHA_RE.search(w))
     if nw and round((nw - n_alpha) / nw, 4) > C.MAX_NON_ALPHA_WORD_FRACTION:
