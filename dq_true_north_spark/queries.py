@@ -470,6 +470,58 @@ FROM banded"""
 # ================================================= dashboard analytics =====
 
 
+@sql_query("doc_length_quantiles")
+def q_doc_length_quantiles(d: str) -> str:
+    """Per-language document-length quantiles (corpus profiling — the stats
+    a quality-filter run logs before choosing thresholds). Spark exact
+    `percentile` == DuckDB `quantile_cont` (both linear interpolation)."""
+    fn = "percentile" if d == SPARK else "quantile_cont"
+    qs = ", ".join(
+        f"round({fn}(n_chars, {q}), 4) AS q{int(q * 100)}"
+        for q in (0.25, 0.5, 0.75, 0.95)
+    )
+    return f"SELECT lang, COUNT(*) AS n_docs, {qs} FROM documents GROUP BY lang"
+
+
+@sql_query("doc_stats_rollup")
+def q_doc_stats_rollup(d: str) -> str:
+    """Pass-rate style rollup over (lang, source) with subtotal rows —
+    GROUP BY ROLLUP, one pass, partial aggregation at every level."""
+    nw = spec.n_words(d, "text")
+    return f"""
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST({nw} >= {C.MIN_WORDS} AS INT)) AS BIGINT) AS long_enough
+FROM documents
+GROUP BY ROLLUP(lang, source)"""
+
+
+@df_query("approx_distinct_vs_exact")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++): approx_count_distinct on urls/texts
+    next to the exact count with the observed relative error — the sketch
+    the 10^12-doc dedup pre-pass would use to size itself. Sketch values
+    are engine-specific → rows-only check, self-validating via rel_err."""
+    from pyspark.sql import functions as F
+
+    from .corpus import pages_df
+
+    pages = pages_df(spark, 10_000)
+    return pages.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("url").alias("exact_urls"),
+        F.approx_count_distinct("url", 0.02).alias("approx_urls"),
+        F.countDistinct("text").alias("exact_texts"),
+        F.approx_count_distinct("text", 0.02).alias("approx_texts"),
+    ).selectExpr(
+        "rows", "exact_urls", "approx_urls",
+        "round(abs(approx_urls - exact_urls) / exact_urls, 4) AS url_rel_err",
+        "exact_texts", "approx_texts",
+        "round(abs(approx_texts - exact_texts) / exact_texts, 4) AS text_rel_err",
+    )
+
+
 @sql_query("top_k_days_events")
 def q_top_k_days(d: str) -> str:
     """Top-k chart bound (streamlit.py:1109,1162,1214: sort desc + limit) —
