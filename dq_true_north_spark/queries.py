@@ -497,6 +497,72 @@ FROM documents
 GROUP BY ROLLUP(lang, source)"""
 
 
+@sql_query("doc_top_bigram_fraction")
+def q_top_bigram_fraction(d: str) -> str:
+    """Gopher repetition rule: fraction of the document occupied by its most
+    frequent word 2-gram. Explode/unnest → per-(doc, gram) count → max per
+    doc — two partial-aggregated shuffles, no O(L²) per-row work."""
+    w = spec.words(d, "lower(text)")
+    if d == SPARK:
+        grams = (f"transform(sequence(1, greatest(size({w}) - 1, 0)), "
+                 f"i -> concat_ws(' ', slice({w}, i, 2)))")
+        un = f"LATERAL VIEW explode({grams}) g AS gram"
+        from_clause = f"FROM documents {un}"
+    else:
+        grams = (f"list_transform(generate_series(1, greatest(len({w}) - 1, 0)), "
+                 f"i -> array_to_string(list_slice({w}, i, i + 1), ' '))")
+        from_clause = f"FROM documents, unnest({grams}) AS t(gram)"
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, gram {from_clause}
+), per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM exploded GROUP BY doc_id, gram
+), per_doc AS (
+  SELECT doc_id, MAX(c) AS top_count, CAST(SUM(c) AS BIGINT) AS total_grams
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(top_count AS BIGINT) AS top_count,
+       total_grams,
+       round(CAST(top_count AS DOUBLE) / nullif(total_grams, 0), 4)
+           AS top_bigram_fraction,
+       CAST(CASE WHEN CAST(top_count AS DOUBLE) / nullif(total_grams, 0) > 0.20
+            THEN 1 ELSE 0 END AS INT) AS is_repetitive
+FROM per_doc"""
+
+
+@df_query("host_counts_salted_vs_direct")
+def q_salted_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew discipline demo on the hot-host corpus: per-host page counts via
+    salted two-phase aggregation (groupBy(host, salt) partial → groupBy(host)
+    final) next to the direct groupBy — `counts_match` must be 1 everywhere.
+    Self-validating rows-only check (the corpus isn't a DuckDB view)."""
+    from pyspark.sql import functions as F
+
+    from .corpus import n_pages_for_sf, pages_df
+    from .partitioning import host_of, salt_col
+
+    pages = pages_df(spark, min(n_pages_for_sf(sf_dir), 10_000))
+    direct = (
+        pages.groupBy(host_of().alias("host"))
+        .agg(F.count(F.lit(1)).alias("direct_count"))
+    )
+    salted = (
+        pages.groupBy(host_of().alias("host"), salt_col().alias("hs"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("host")
+        .agg(F.sum("c").cast("bigint").alias("salted_count"))
+    )
+    return (
+        direct.join(salted, "host")
+        .select(
+            "host", "direct_count", "salted_count",
+            (F.col("direct_count") == F.col("salted_count"))
+            .cast("int").alias("counts_match"),
+        )
+    )
+
+
 @df_query("approx_distinct_vs_exact")
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++): approx_count_distinct on urls/texts
