@@ -98,7 +98,13 @@ def run_catalog(
     because each rule already owns its errors.
     """
     sink = sink if sink is not None else NullSink()
-    active = [r for r in rules if r.get("is_active", True)]  # dq_engine.py:27
+    active = [
+        r for r in rules
+        if r.get("is_active", True)                 # dq_engine.py:27
+        # CORTEX_LLM rules are declared but skipped ("implementation
+        # pending") with no summary row — reference dq_engine.py:120-121
+        and r.get("logic_implementation") != "CORTEX_LLM"
+    ]
     if parallelism <= 1 or len(active) <= 1:
         summary_rows = [_run_one(spark, rule, sink) for rule in active]
     else:

@@ -20,6 +20,13 @@ def get_spark(
     shuffle_partitions: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # executor Python workers inherit the JVM's PYTHONPATH, NOT the driver's
+    # sys.path — make the package importable on workers whatever the cwd
+    # (the cluster-mode equivalent is spark-submit --py-files)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo + (os.pathsep + pp if pp else "")
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     b = (
         SparkSession.builder.appName(app_name)

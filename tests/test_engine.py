@@ -103,6 +103,20 @@ def test_inactive_rules_skipped(spark):
     assert summary.count() == 0
 
 
+def test_cortex_llm_rules_skipped_like_reference(spark):
+    """CORTEX_LLM rules: declared in dispatch but skipped with no summary
+    row (reference dq_engine.py:120-121 'implementation pending')."""
+    rule = {
+        "rule_id": 77, "rule_name": "llm_rule", "rule_type": "GENERIC",
+        "logic_implementation": "CORTEX_LLM", "logic_definition": "",
+        "parameters": "{}", "segment_value": "", "is_active": True,
+    }
+    summary = run_catalog(spark, [rule, dict(DEFAULT_CATALOG[2])],
+                          write_summary=False)
+    names = [r["rule_name"] for r in summary.collect()]
+    assert names == ["customer_acctbal_negative"]
+
+
 def test_duplicate_check_normalization(spark, sink):
     """Case-insensitive + rounded normalization (dq_rules_library.py:310-313)."""
     df = spark.createDataFrame(
