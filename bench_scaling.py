@@ -65,7 +65,7 @@ v = compute_verdicts(pages).select(
     F.sum(F.col("keep").cast("int")).alias("kept"))
 row = v.first()                                     # warm-up (excluded)
 times = []
-for _ in range(3):
+for _ in range(2):
     t0 = time.perf_counter(); v.first(); times.append(time.perf_counter() - t0)
 best = min(times)
 print(json.dumps({{"cores": cores, "docs": row["n"], "kept": row["kept"],
@@ -94,8 +94,20 @@ def main() -> None:
             [sys.executable, "-c", _PREP.format(repo=REPO, n=N_PAGES, pages=PAGES)],
             check=True, timeout=1800,
         )
-    r8 = run(8, "0-7")
-    r32 = run(32, "0-31")
+    # the sandbox host is noisy (identical trials vary 2x); interleave
+    # paired visits and take the min per level so both levels sample the
+    # same noise windows
+    rounds8, rounds32 = [], []
+    for _ in range(3):
+        rounds8.append(run(8, "0-7"))
+        rounds32.append(run(32, "0-31"))
+    r8 = min(rounds8, key=lambda r: r["sec"])
+    r32 = min(rounds32, key=lambda r: r["sec"])
+    r8["times"] = sorted(t for r in rounds8 for t in r["times"])
+    r32["times"] = sorted(t for r in rounds32 for t in r["times"])
+    r8["sec"] = min(r8["times"]); r32["sec"] = min(r32["times"])
+    r8["docs_per_sec"] = round(r8["docs"] / r8["sec"], 1)
+    r32["docs_per_sec"] = round(r32["docs"] / r32["sec"], 1)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -106,7 +118,7 @@ Gopher/C4 heuristics + exact dedup + PII scrub, fully materialized), same
 input ({N_PAGES:,} synthetic CC-style pages, deterministic seed, 128-file
 parquet), two parallelism levels standing in for N vs 4N executors.
 CPU-pinned via taskset; shuffle on tmpfs; fixed 128 partitions at both
-levels; plan compiled once, min of 3 timed runs after 1 warm-up.
+levels; plan compiled once, min over 3 interleaved paired visits x 2 timed runs each, after per-JVM warm-up (the shared sandbox host shows 2x noise between identical trials; interleaving samples both levels across the same noise windows).
 
 | parallelism | pinned CPUs | docs | kept | runs (s) | best s | docs/sec |
 |---|---|---|---|---|---|---|

@@ -470,6 +470,40 @@ FROM banded"""
 # ================================================= dashboard analytics =====
 
 
+@sql_query("events_sessionization")
+def q_sessionization(d: str) -> str:
+    """Sessionization: per-user gaps-and-islands where a >30-minute silence
+    starts a new session — the general form of the sustained-trend pattern
+    (lag → boundary flag → running sum → group), aggregated to per-session
+    stats. One window + one aggregate, both partial-aggregated."""
+    s = _str_t(d)
+    if d == SPARK:
+        gap = "(unix_timestamp(ts) - unix_timestamp(prev_ts)) > 1800"
+    else:
+        gap = "datediff('second', prev_ts, ts) > 1800"
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR {gap} THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+), sessions AS (
+  SELECT *,
+      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS {s}) AS session_start,
+       CAST(MAX(ts) AS {s}) AS session_end,
+       round(SUM(value), 4) AS session_value
+FROM sessions
+GROUP BY user_id, session_id"""
+
+
 @sql_query("doc_length_quantiles")
 def q_doc_length_quantiles(d: str) -> str:
     """Per-language document-length quantiles (corpus profiling — the stats

@@ -33,8 +33,24 @@ from .scrub import scrub_column
 from .udfs import lang_ppl_udf
 
 
-def compute_verdicts(pages: DataFrame, with_scrub: bool = True) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → verdicts per url."""
+def compute_verdicts(
+    pages: DataFrame,
+    with_scrub: bool = True,
+    dedup_strategy: str = "broadcast",
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → verdicts per url.
+
+    dedup_strategy:
+      'broadcast' (default): the dedup shuffle carries ONLY
+        (url, warc_ts, text_hash) — ~100 bytes/row instead of the full
+        document — and the loser set (duplicate occurrences, typically a
+        small fraction of the corpus) is broadcast-joined back. The wide
+        row never crosses the network.
+      'shuffle': single full-width exchange + window — use when the
+        duplicate fraction is too large to broadcast (degenerate mirrors);
+        at 10^12 docs the same keys-only plan with a sort-merge join back
+        replaces the broadcast.
+    """
     model = lang_ppl_udf(F.col("text"))   # one Arrow hop for both models
     flagged = pages.select(
         "url",
@@ -50,10 +66,23 @@ def compute_verdicts(pages: DataFrame, with_scrub: bool = True) -> DataFrame:
     # keep-first exact dedup: stable tie-break (warc_ts, url) — never
     # partition-order dependent (SURVEY.md §7 hard-point 3)
     dup_win = Window.partitionBy("text_hash").orderBy("warc_ts", "url")
-    flagged = flagged.withColumn(
-        C.REASON_EXACT_DUP,
-        (F.row_number().over(dup_win) > 1).cast("int"),
-    )
+    if dedup_strategy == "broadcast":
+        losers = (
+            pages.select("url", "warc_ts", F.md5("text").alias("text_hash"))
+            .withColumn("_rn", F.row_number().over(dup_win))
+            .filter(F.col("_rn") > 1)
+            .select("url", "warc_ts", F.lit(1).alias("_is_dup"))
+        )
+        flagged = flagged.join(
+            F.broadcast(losers), ["url", "warc_ts"], "left"
+        ).withColumn(
+            C.REASON_EXACT_DUP, F.coalesce(F.col("_is_dup"), F.lit(0))
+        ).drop("_is_dup")
+    else:
+        flagged = flagged.withColumn(
+            C.REASON_EXACT_DUP,
+            (F.row_number().over(dup_win) > 1).cast("int"),
+        )
 
     latin = F.col("pred_lang").isin(*C.LATIN_LANGS)
     gates = {
