@@ -122,11 +122,13 @@ def summary_oracle_sql() -> str:
         SELECT COUNT(*) FROM (
             SELECT event_type, trend_group_id, COUNT(*) AS len FROM (
                 SELECT event_type, ts, event_id,
+                    CASE WHEN prev IS NOT NULL AND value > prev THEN 1 ELSE 0 END AS is_increasing,
                     SUM(CASE WHEN prev IS NOT NULL AND value > prev THEN 0 ELSE 1 END)
                         OVER (PARTITION BY event_type ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trend_group_id
                 FROM (SELECT *, LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
                       FROM events) a) b
+            WHERE is_increasing = 1
             GROUP BY event_type, trend_group_id HAVING COUNT(*) >= 3) c)"""
 
     missing_cnt = """(
@@ -145,15 +147,16 @@ def summary_oracle_sql() -> str:
         WITH g AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events),
         agg AS (
             SELECT event_type,
-                SUM(CASE WHEN CAST(ts AS DATE) > g.maxd - INTERVAL {C.HIST_LOOKBACK_DAYS} DAY THEN 1 ELSE 0 END) AS actual,
-                SUM(CASE WHEN CAST(ts AS DATE) > g.maxd - INTERVAL {C.HIST_LOOKBACK_DAYS + 1} DAY
-                          AND CAST(ts AS DATE) <= g.maxd - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS prev_cum,
-                SUM(CASE WHEN CAST(ts AS DATE) = g.maxd - INTERVAL {C.HIST_LOOKBACK_DAYS} DAY THEN 1 ELSE 0 END) AS dropped,
+                SUM(CASE WHEN CAST(ts AS DATE) >= g.maxd - INTERVAL {C.HIST_LOOKBACK_DAYS} DAY THEN 1 ELSE 0 END) AS actual,
+                SUM(CASE WHEN CAST(ts AS DATE) >= g.maxd - INTERVAL {C.HIST_LOOKBACK_DAYS} DAY
+                          AND CAST(ts AS DATE) < g.maxd THEN 1 ELSE 0 END) AS prev_cum,
+                SUM(CASE WHEN CAST(ts AS DATE) = g.maxd - INTERVAL {C.HIST_LOOKBACK_DAYS + 1} DAY THEN 1 ELSE 0 END) AS dropped,
                 SUM(CASE WHEN CAST(ts AS DATE) = g.maxd THEN 1 ELSE 0 END) AS newest
             FROM events, g GROUP BY event_type)
         SELECT COUNT(*) FROM agg
-        WHERE round(abs(CAST(actual - (prev_cum - dropped + newest) AS DOUBLE))
-                    / nullif(prev_cum - dropped + newest, 0), 4) > {C.HIST_TOLERANCE})"""
+        WHERE (CASE WHEN (prev_cum - dropped + newest) = 0 THEN 0.0
+               ELSE abs(CAST(actual - (prev_cum - dropped + newest) AS DOUBLE))
+                    / (prev_cum - dropped + newest) END) > {C.HIST_TOLERANCE})"""
 
     sigma_cnt = f"""(
         SELECT COUNT(*) FROM (

@@ -312,7 +312,11 @@ WHERE prev_value IS NOT NULL AND prev_value <> 0
 def q_sustained_trend(d: str) -> str:
     """SNOWPARK_FUNC sustained-trend rule (dq_rules_library.py:1153-1203):
     gaps-and-islands — lag → is_increasing → running-sum group id →
-    group count >= threshold (here 3 to exercise the rule on random data)."""
+    filter is_increasing = 1 (reference :1179 filters BEFORE the groupBy, so
+    trend_length counts only the increasing rows of a streak) →
+    group count >= threshold (here 3 to exercise the rule on random data).
+    The running SUM is CAST to BIGINT: DuckDB types it HUGEINT otherwise and
+    the driver's pandas canonicalization renders it as a float."""
     return """
 WITH lagged AS (
   SELECT event_type, event_id, ts, value,
@@ -326,14 +330,15 @@ WITH lagged AS (
   FROM lagged
 ), grouped AS (
   SELECT *,
-      SUM(CASE WHEN is_increasing = 0 THEN 1 ELSE 0 END)
+      CAST(SUM(CASE WHEN is_increasing = 0 THEN 1 ELSE 0 END)
           OVER (PARTITION BY event_type ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          AS trend_group_id
+          AS BIGINT) AS trend_group_id
   FROM marked
 )
 SELECT event_type, trend_group_id, COUNT(*) AS trend_length
 FROM grouped
+WHERE is_increasing = 1
 GROUP BY event_type, trend_group_id
 HAVING COUNT(*) >= 3"""
 
@@ -397,21 +402,33 @@ SELECT event_type, user_id FROM t1"""
 def q_historical_completeness(d: str) -> str:
     """HISTORICAL_COMPLETENESS rule (dq_rules_library.py:806-1150). The
     reference loops datasets × 4 scalar SUM queries (:931-1045); rebuilt as
-    ONE conditional-sum aggregate pass (SURVEY.md §2.1 #10):
+    ONE conditional-sum aggregate pass (SURVEY.md §2.1 #10). Window anchors
+    match the reference's max-date fallback exactly (:893-905):
+    window_start = newest − lookback (actual is >= window_start, :1030-1032),
+    dropped_day  = newest − (lookback + 1) (:895),
+    prev_cum     = [window_start, newest) (:1007-1010),
     expected = prev_cumulative − dropped_day + newest_day (:1049),
-    deviation_pct = |actual−expected|/expected (:1054-1060),
-    FAIL iff > tolerance 0.05 (:831,1066)."""
+    deviation_pct = |actual−expected|/expected, 0.0 when expected = 0
+    (:1063-1067), FAIL iff > tolerance 0.05 (:831,1066). With these
+    boundaries deviation ≡ dropped_day_count, so the rule fires exactly when
+    the day that just rolled out of the window carried > tolerance of it."""
     lb = C.HIST_LOOKBACK_DAYS
+    expected = "(previous_cumulative_count - dropped_day_count + newest_day_count)"
+    dev = f"(actual_count - {expected})"
+    pct = (
+        f"CASE WHEN {expected} = 0 THEN 0.0 "
+        f"ELSE abs(CAST({dev} AS DOUBLE)) / {expected} END"
+    )
     return f"""
 WITH g AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events),
 agg AS (
   SELECT event_type AS dataset_name,
-      CAST(SUM(CASE WHEN CAST(ts AS DATE) > {_date_sub(d, "g.maxd", lb)}
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) >= {_date_sub(d, "g.maxd", lb)}
                THEN 1 ELSE 0 END) AS BIGINT) AS actual_count,
-      CAST(SUM(CASE WHEN CAST(ts AS DATE) > {_date_sub(d, "g.maxd", lb + 1)}
-                AND CAST(ts AS DATE) <= {_date_sub(d, "g.maxd", 1)}
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) >= {_date_sub(d, "g.maxd", lb)}
+                AND CAST(ts AS DATE) < g.maxd
                THEN 1 ELSE 0 END) AS BIGINT) AS previous_cumulative_count,
-      CAST(SUM(CASE WHEN CAST(ts AS DATE) = {_date_sub(d, "g.maxd", lb)}
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) = {_date_sub(d, "g.maxd", lb + 1)}
                THEN 1 ELSE 0 END) AS BIGINT) AS dropped_day_count,
       CAST(SUM(CASE WHEN CAST(ts AS DATE) = g.maxd THEN 1 ELSE 0 END)
           AS BIGINT) AS newest_day_count
@@ -420,18 +437,10 @@ agg AS (
 )
 SELECT dataset_name, actual_count, previous_cumulative_count,
     dropped_day_count, newest_day_count,
-    (previous_cumulative_count - dropped_day_count + newest_day_count)
-        AS expected_count,
-    (actual_count - (previous_cumulative_count - dropped_day_count
-                     + newest_day_count)) AS deviation,
-    round(abs(CAST(actual_count - (previous_cumulative_count
-        - dropped_day_count + newest_day_count) AS DOUBLE))
-        / nullif(previous_cumulative_count - dropped_day_count
-                 + newest_day_count, 0), 4) AS deviation_percentage,
-    CAST(CASE WHEN abs(CAST(actual_count - (previous_cumulative_count
-        - dropped_day_count + newest_day_count) AS DOUBLE))
-        / nullif(previous_cumulative_count - dropped_day_count
-                 + newest_day_count, 0) > {C.HIST_TOLERANCE}
+    {expected} AS expected_count,
+    {dev} AS deviation,
+    round({pct}, 4) AS deviation_percentage,
+    CAST(CASE WHEN {pct} > {C.HIST_TOLERANCE}
         THEN 1 ELSE 0 END AS INT) AS is_breach
 FROM agg"""
 
@@ -491,8 +500,8 @@ WITH lagged AS (
   FROM lagged
 ), sessions AS (
   SELECT *,
-      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id,

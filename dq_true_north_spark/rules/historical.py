@@ -34,18 +34,23 @@ def execute_historical_completeness_check(spark: SparkSession, rule: dict, param
     maxd = df.agg(F.max("_d")).first()[0]
     md = F.lit(maxd)
 
+    # Window anchors per the reference's max-date fallback (:893-905):
+    # window_start = maxd − lb (actual is >= window_start, :1030-1032),
+    # dropped_day = maxd − (lb+1) (:895), prev_cum = [window_start, maxd)
+    # (:1007-1010). Deviation therefore equals dropped_day_count, so the
+    # rule fires when the day that rolled out of the window carried more
+    # than `tolerance` of it.
     agg = (
         df.groupBy(F.col(dataset_col).alias("dataset_name"))
         .agg(
-            F.sum(F.when(F.col("_d") > F.date_sub(md, lb), 1).otherwise(0)).alias("actual_count"),
+            F.sum(F.when(F.col("_d") >= F.date_sub(md, lb), 1).otherwise(0)).alias("actual_count"),
             F.sum(
                 F.when(
-                    (F.col("_d") > F.date_sub(md, lb + 1))
-                    & (F.col("_d") <= F.date_sub(md, 1)),
+                    (F.col("_d") >= F.date_sub(md, lb)) & (F.col("_d") < md),
                     1,
                 ).otherwise(0)
             ).alias("previous_cumulative_count"),
-            F.sum(F.when(F.col("_d") == F.date_sub(md, lb), 1).otherwise(0)).alias("dropped_day_count"),
+            F.sum(F.when(F.col("_d") == F.date_sub(md, lb + 1), 1).otherwise(0)).alias("dropped_day_count"),
             F.sum(F.when(F.col("_d") == md, 1).otherwise(0)).alias("newest_day_count"),
         )
         .withColumn(
@@ -57,14 +62,24 @@ def execute_historical_completeness_check(spark: SparkSession, rule: dict, param
         .withColumn(
             "deviation_percentage",
             F.round(
-                F.abs(F.col("deviation").cast("double"))
-                / F.nullif(F.col("expected_count"), F.lit(0)),
+                F.when(F.col("expected_count") == 0, F.lit(0.0))  # :1063-1067
+                .otherwise(
+                    F.abs(F.col("deviation").cast("double"))
+                    / F.col("expected_count")
+                ),
                 4,
             ),                                                    # :1054-1060
         )
         .withColumn(
             "status",
-            F.when(F.col("deviation_percentage") > tol, F.lit("FAIL")).otherwise(F.lit("PASS")),
+            F.when(
+                F.when(F.col("expected_count") == 0, F.lit(0.0)).otherwise(
+                    F.abs(F.col("deviation").cast("double"))
+                    / F.col("expected_count")
+                )
+                > tol,
+                F.lit("FAIL"),
+            ).otherwise(F.lit("PASS")),
         )
         .cache()
     )

@@ -39,6 +39,9 @@ def execute_sustained_trend_check(spark: SparkSession, rule: dict, params: dict,
             "trend_group_id",
             F.sum(F.when(F.col("is_increasing") == 0, 1).otherwise(0)).over(run),  # :1178
         )
+        # reference filters the non-increasing group-start row BEFORE the
+        # groupBy (:1179), so trend_length counts only the increasing rows
+        .filter(F.col("is_increasing") == 1)
         .groupBy(*segs, "trend_group_id")
         .agg(F.count(F.lit(1)).alias("trend_length"))             # :1179
         .filter(F.col("trend_length") >= threshold)               # :1180

@@ -1,0 +1,146 @@
+"""Semantic regression tests for the round-2 ADVICE fixes.
+
+1. Historical completeness is no longer a tautology: with the reference's
+   window anchors (dq_rules_library.py:893-905,1007-1010,1030-1032) the
+   deviation equals dropped_day_count, so a heavy day rolling out of the
+   window makes the rule FAIL.
+2. Sustained trend counts only increasing rows (reference filters
+   is_increasing == 1 BEFORE the groupBy, dq_rules_library.py:1179): a run
+   of N rising values is a streak of length N-1, not N.
+3. The local oracle canon is driver-faithful: an un-cast DuckDB HUGEINT
+   (float64 through pandas) hashes differently from a Spark BIGINT.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from dq_true_north_spark import constants as C
+from dq_true_north_spark.engine import run_catalog
+
+
+def _rule(rule_id, name, rtype, **params):
+    return {
+        "rule_id": rule_id, "rule_name": name, "rule_type": rtype,
+        "logic_implementation": "SNOWPARK_FUNC", "logic_definition": "",
+        "parameters": json.dumps(params), "segment_value": "",
+        "is_active": True,
+    }
+
+
+def _hist_rows(lb: int, dropped_day_rows: int, per_day: int = 10):
+    base = datetime.date(2024, 6, 1)
+    rows = []
+    rid = 0
+    # days base .. base+lb  => newest = base+lb, window_start = base,
+    # dropped day = base-1
+    for day_off in range(0, lb + 1):
+        for _ in range(per_day):
+            rows.append((rid, "a", datetime.datetime.combine(
+                base + datetime.timedelta(days=day_off),
+                datetime.time(12, 0))))
+            rid += 1
+    for _ in range(dropped_day_rows):
+        rows.append((rid, "a", datetime.datetime.combine(
+            base - datetime.timedelta(days=1), datetime.time(12, 0))))
+        rid += 1
+    return rows
+
+
+def _run_hist(spark, rows, lb):
+    spark.createDataFrame(
+        rows, "event_id int, event_type string, ts timestamp"
+    ).createOrReplaceTempView("hist_sem_src")
+    rule = _rule(
+        60, "hist_sem", "HISTORICAL_COMPLETENESS",
+        source_table="hist_sem_src", date_column="ts",
+        dataset_column="event_type", tolerance_threshold=0.05,
+        lookback_days=lb,
+    )
+    summary = run_catalog(spark, [rule], write_summary=False)
+    return summary.first()
+
+
+def test_historical_completeness_fires_on_heavy_dropped_day(spark):
+    """dropped day carries 100 rows vs expected 510 → 19.6% > 5% → FAIL."""
+    lb = 60
+    row = _run_hist(spark, _hist_rows(lb, dropped_day_rows=100), lb)
+    assert row["indicator"] == C.FAIL, row
+    assert row["result_value"] == "1"
+
+
+def test_historical_completeness_passes_on_smooth_history(spark):
+    """dropped day carries the same 10 rows as every window day →
+    10/610 = 1.6% < 5% → PASS (the old tautology ALSO passed here; the
+    FAIL case above is the discriminating one)."""
+    lb = 60
+    row = _run_hist(spark, _hist_rows(lb, dropped_day_rows=10), lb)
+    assert row["indicator"] == C.PASS, row
+
+
+def _run_trend(spark, values, threshold):
+    base = datetime.datetime(2024, 6, 1, 12, 0)
+    rows = [
+        (i, "a", base + datetime.timedelta(hours=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    spark.createDataFrame(
+        rows, "event_id int, event_type string, ts timestamp, value double"
+    ).createOrReplaceTempView("trend_sem_src")
+    rule = _rule(
+        61, "trend_sem", "SUSTAINED_TREND",
+        source_table="trend_sem_src", metric_column="value",
+        timestamp_col="ts", segment_columns=["event_type"],
+        tiebreak_columns=["event_id"], trend_days_threshold=threshold,
+    )
+    return run_catalog(spark, [rule], write_summary=False).first()
+
+
+def test_trend_streak_counts_increases_not_rows(spark):
+    """1→2→3 is TWO increases: below threshold 3 (the pre-fix code counted
+    the group-start row too and fired one step early)."""
+    row = _run_trend(spark, [1, 2, 3], threshold=3)
+    assert row["indicator"] == C.PASS, row
+    # 1→2→3→4 is three increases: fires at threshold 3
+    row = _run_trend(spark, [1, 2, 3, 4], threshold=3)
+    assert row["indicator"] == C.FAIL, row
+    assert row["result_value"] == "1"
+
+
+def test_oracle_canon_distinguishes_bigint_from_hugeint():
+    """Reverting the CAST(... AS BIGINT) on windowed SUMs must fail locally:
+    DuckDB HUGEINT → pandas float64 → '3.0' while Spark BIGINT → '3'."""
+    import duckdb
+
+    from tests.oracle import duck_canon
+
+    con = duckdb.connect()
+    _, _, h_raw = duck_canon(con, "SELECT SUM(x) AS s FROM (VALUES (1),(2)) t(x)")
+    _, _, h_cast = duck_canon(
+        con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1),(2)) t(x)")
+    con.close()
+    assert h_raw != h_cast
+
+
+@pytest.mark.parametrize("expected_zero_rows", [True])
+def test_historical_zero_expected_is_pass(spark, expected_zero_rows):
+    """Reference sets deviation_pct = 0.0 when expected = 0 (:1063-1067) —
+    no divide-by-null FAIL."""
+    base = datetime.datetime(2024, 6, 1, 12, 0)
+    # all data on one single day: prev_cum = 0, dropped = 0, newest = n
+    rows = [(i, "a", base) for i in range(5)]
+    spark.createDataFrame(
+        rows, "event_id int, event_type string, ts timestamp"
+    ).createOrReplaceTempView("hist_zero_src")
+    rule = _rule(
+        62, "hist_zero", "HISTORICAL_COMPLETENESS",
+        source_table="hist_zero_src", date_column="ts",
+        dataset_column="event_type", tolerance_threshold=0.05,
+        lookback_days=60,
+    )
+    row = run_catalog(spark, [rule], write_summary=False).first()
+    # expected = 0 - 0 + 5 = 5, actual = 5 → deviation 0 → PASS
+    assert row["indicator"] == C.PASS, row
