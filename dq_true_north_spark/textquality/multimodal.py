@@ -1,18 +1,25 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
 The Spark-side machinery (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decoding is STUBBED because
-no image/audio libraries exist in this container. `decode_media_meta`
-extracts what CAN be read without a codec (byte length, magic-derived
-format) and fills decoder-dependent fields (width/height/frames) with a
-deterministic fake derived from the content hash, clearly marked by
-`decoder="stub"`. Swap `_decode_one` for a real PIL/ffmpeg call on a
-cluster with codecs — nothing else changes.
+signatures) is real and tested. Metadata that CAN be read without a codec is
+parsed for real from the container headers (all public, stable formats):
+
+  PNG  — IHDR width/height (bytes 16..24, big-endian, PNG spec §11.2.2)
+  GIF  — logical-screen width/height (bytes 6..10, little-endian, GIF89a §18)
+  JPEG — SOFn frame header scan (ITU T.81 §B.2.2) for height/width
+
+Pixel/sample DECODING (resize, frame extraction, feature vectors) genuinely
+requires codec libraries that do not exist in this container; those rows get
+``decoder='unsupported'`` and NULL decode-dependent fields — never fabricated
+values. Swap `_decode_frames` for a real PIL/ffmpeg call on a cluster with
+codecs — the mapInPandas plumbing, schema and batch shape do not change.
+
+Reference analog: none — the reference is tabular-only; this is part of the
+LLM-training-data operator set (SURVEY.md §2 extension).
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,6 +39,10 @@ _MAGIC = {
     b"<!DO": "html",
 }
 
+# JPEG start-of-frame markers that carry dimensions (T.81 §B.2.2);
+# C4/C8/CC are huffman/arithmetic/extension markers, not frames.
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
 
 def _sniff_format(blob: bytes) -> str:
     for magic, fmt in _MAGIC.items():
@@ -40,21 +51,79 @@ def _sniff_format(blob: bytes) -> str:
     return "unknown"
 
 
-def _decode_one(url: str, blob: bytes) -> tuple:
-    """STUB decode: deterministic fake dimensions from the content hash.
+def _png_dims(blob: bytes) -> tuple[int, int] | None:
+    # 8-byte signature + IHDR chunk: length(4) type(4) width(4) height(4)
+    if len(blob) >= 24 and blob[12:16] == b"IHDR":
+        return (
+            int.from_bytes(blob[16:20], "big"),
+            int.from_bytes(blob[20:24], "big"),
+        )
+    return None
 
-    Raises nothing; a real decoder would NotImplementedError on codecs it
-    lacks — the pipeline isolates that per-row into decoder='error'.
-    """
-    h = int.from_bytes(hashlib.sha256(blob).digest()[:8], "big")
-    width = 160 + (h % 1920)
-    height = 120 + ((h >> 16) % 1080)
-    n_frames = 1 + ((h >> 32) % 240)
-    step = max(1, n_frames // 4)
-    offsets = list(range(0, n_frames, step))[:4]
+
+def _gif_dims(blob: bytes) -> tuple[int, int] | None:
+    if len(blob) >= 10:
+        return (
+            int.from_bytes(blob[6:8], "little"),
+            int.from_bytes(blob[8:10], "little"),
+        )
+    return None
+
+
+def _jpeg_dims(blob: bytes) -> tuple[int, int] | None:
+    # walk marker segments until a start-of-frame header
+    i = 2
+    n = len(blob)
+    while i + 9 < n:
+        if blob[i] != 0xFF:
+            return None
+        marker = blob[i + 1]
+        if marker == 0xFF:      # fill byte
+            i += 1
+            continue
+        if 0xD0 <= marker <= 0xD9:   # RSTn/SOI/EOI: no length field
+            i += 2
+            continue
+        seg_len = int.from_bytes(blob[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            height = int.from_bytes(blob[i + 5 : i + 7], "big")
+            width = int.from_bytes(blob[i + 7 : i + 9], "big")
+            return (width, height)
+        i += 2 + seg_len
+    return None
+
+
+_HEADER_PARSERS = {"png": _png_dims, "gif": _gif_dims, "jpeg": _jpeg_dims}
+
+
+def _decode_frames(fmt: str, blob: bytes):
+    """Frame decode — genuinely codec-dependent, unavailable here.
+
+    A real deployment replaces this with PIL/ffmpeg; the contract is
+    (n_frames, sample_frame_offsets) or None when no codec can handle fmt.
+    Still-image formats are single-frame by definition, so that much is
+    real metadata; animated/video formats need the codec."""
+    if fmt in ("png", "jpeg"):
+        return 1, [0]
+    return None  # gif may be animated; riff/html/unknown need a codec
+
+
+def _meta_one(url: str, blob: bytes) -> tuple:
+    fmt = _sniff_format(blob)
+    dims = _HEADER_PARSERS.get(fmt, lambda b: None)(blob)
+    frames = _decode_frames(fmt, blob)
+    decoder = "headers" if (dims or frames) else "unsupported"
     return (
-        url, len(blob), _sniff_format(blob),
-        int(width), int(height), int(n_frames), offsets, "stub",
+        url,
+        len(blob),
+        fmt,
+        dims[0] if dims else None,
+        dims[1] if dims else None,
+        frames[0] if frames else None,
+        frames[1] if frames else [],
+        decoder,
     )
 
 
@@ -64,7 +133,7 @@ def decode_media_meta(pages: DataFrame, binary_col: str = "html") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = [
-                _decode_one(u, bytes(blob))
+                _meta_one(u, bytes(blob))
                 for u, blob in zip(b["url"], b[binary_col])
             ]
             yield pd.DataFrame(

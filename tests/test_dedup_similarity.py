@@ -111,5 +111,106 @@ def test_media_meta_plumbing(spark):
     for r in meta[:20]:
         assert r["format"] == "html"          # magic sniffing real
         assert r["byte_len"] > 0
-        assert r["decoder"] == "stub"         # decode stubbed, marked
-        assert 1 <= len(r["sample_frame_offsets"]) <= 4
+        # codec-dependent fields are honestly NULL, never fabricated
+        assert r["decoder"] == "unsupported"
+        assert r["width"] is None and r["height"] is None
+        assert r["n_frames"] is None
+        assert r["sample_frame_offsets"] == []
+
+
+def test_media_meta_real_header_parsing(spark):
+    """PNG/GIF/JPEG dimensions come from real container headers."""
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 8
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 20
+    # SOI + APP0 (len 16) + SOF0: len 17, precision 8, h=100, w=250
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (100).to_bytes(2, "big") + (250).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [("u1", bytearray(png)), ("u2", bytearray(gif)), ("u3", bytearray(jpeg))],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in decode_media_meta(df, "html").collect()}
+    assert (rows["u1"]["format"], rows["u1"]["width"], rows["u1"]["height"]) == ("png", 640, 480)
+    assert rows["u1"]["n_frames"] == 1 and rows["u1"]["decoder"] == "headers"
+    assert (rows["u2"]["format"], rows["u2"]["width"], rows["u2"]["height"]) == ("gif", 320, 200)
+    assert rows["u2"]["n_frames"] is None  # animated? needs a codec
+    assert (rows["u3"]["format"], rows["u3"]["width"], rows["u3"]["height"]) == ("jpeg", 250, 100)
+
+
+def test_fingerprint_vectorized_matches_scalar_spec(spark):
+    """Frozen-spec parity: chunked numpy Horner == per-byte definition."""
+    from dq_true_north_spark.textquality.fingerprint import (
+        fingerprint_text_scalar,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").limit(100).collect()]
+    texts += ["", "x" * 4095, "y" * 4096, "z" * 4097, "a b\t c\n\nd"]
+    for t in texts:
+        assert fingerprint_text(t) == fingerprint_text_scalar(t)
+
+
+def _degenerate_pages(spark, n=300):
+    """All-identical text: one giant LSH bucket in every band/chunk."""
+    rows = [(f"https://h/p{i:05d}", "the same boilerplate text repeated "
+             "over and over for every single page") for i in range(n)]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_minhash_bucket_cap_bounds_pairs_and_is_reported(spark):
+    from dq_true_north_spark.textquality.dedup import minhash_bucket_report
+
+    pages = _degenerate_pages(spark)
+    cap = 16
+    n_pairs = minhash_candidate_pairs(
+        pages, id_col="url", text_col="text", max_bucket=cap
+    ).count()
+    # every bucket holds all 300 docs > cap → skipped → zero pairs, NOT
+    # O(n^2); and the truncation is visible in the report
+    assert n_pairs == 0
+    rep = minhash_bucket_report(
+        pages, id_col="url", text_col="text", max_bucket=cap
+    ).first()
+    assert rep["n_capped"] >= 1
+    assert rep["largest_bucket"] == 300
+    assert rep["docs_in_capped"] >= 300
+
+
+def test_simhash_chunk_cap_bounds_pairs_and_is_reported(spark):
+    from dq_true_north_spark.textquality.dedup import simhash_bucket_report
+
+    pages = _degenerate_pages(spark)
+    cap = 16
+    n_pairs = simhash_near_pairs(
+        pages, id_col="url", text_col="text", max_bucket=cap
+    ).count()
+    assert n_pairs == 0  # capped, not 300*299/2 = 44850
+    rep = simhash_bucket_report(
+        pages, id_col="url", text_col="text", max_bucket=cap
+    ).first()
+    assert rep["n_capped"] == 4          # all 4 chunks of the one signature
+    assert rep["largest_bucket"] == 300
+
+
+def test_simhash_fold_is_batch_split_invariant(spark):
+    """Vectorized reduceat fold gives identical signatures at any
+    partitioning/batch split (no cross-row state)."""
+    from dq_true_north_spark.textquality.dedup import with_simhash
+
+    pages1 = pages_df(spark, 300, partitions=1)
+    pages7 = pages_df(spark, 300, partitions=7)
+    s1 = {r["url"]: r["simhash"] for r in with_simhash(pages1.select("url", "text")).collect()}
+    s7 = {r["url"]: r["simhash"] for r in with_simhash(pages7.select("url", "text")).collect()}
+    assert s1 == s7
+    # empty text folds to 0, not an error
+    empty = spark.createDataFrame([("u", ""), ("v", "   ")], "url string, text string")
+    vals = {r["url"]: r["simhash"] for r in with_simhash(empty).collect()}
+    assert vals == {"u": 0, "v": 0}

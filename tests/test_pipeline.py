@@ -151,3 +151,32 @@ def test_verdict_summary_rollup(spark):
     assert row["total_docs"] == 400
     assert 0 < row["kept_docs"] < 400
     assert row["too_short_count"] == 20  # class 0 plants exactly 1 in 20
+
+
+def test_dedup_strategy_parity_and_auto(spark):
+    """broadcast == shuffle == auto verdicts, row-for-row; auto picks
+    broadcast on the low-dup corpus and shuffle on a 50%-dup corpus."""
+    from pyspark.sql import functions as F
+
+    from dq_true_north_spark.textquality.pipeline import (
+        BROADCAST_DUP_FRACTION_MAX,
+        estimate_dup_fraction,
+    )
+
+    pages = pages_df(spark, 500, partitions=8)
+
+    def key(rows):
+        return {
+            (r["url"], r["warc_ts"]): (r["keep"], tuple(r["drop_reasons"]))
+            for r in rows
+        }
+
+    vb = key(compute_verdicts(pages, with_scrub=False, dedup_strategy="broadcast").collect())
+    vs = key(compute_verdicts(pages, with_scrub=False, dedup_strategy="shuffle").collect())
+    va = key(compute_verdicts(pages, with_scrub=False, dedup_strategy="auto").collect())
+    assert vb == vs == va
+
+    assert estimate_dup_fraction(pages) <= BROADCAST_DUP_FRACTION_MAX
+    # a 50%-duplicate corpus must steer auto away from the broadcast
+    half_dup = pages.select("url", "warc_ts", F.lit("same text").alias("text"))
+    assert estimate_dup_fraction(half_dup) > BROADCAST_DUP_FRACTION_MAX
