@@ -86,7 +86,7 @@ def run_catalog(
     rules: list[dict],
     sink: ResultSink | None = None,
     write_summary: bool = True,
-    parallelism: int = 4,
+    parallelism: int = 8,
 ) -> DataFrame:
     """Execute every active rule; return the dq_results summary DataFrame.
 
@@ -105,15 +105,44 @@ def run_catalog(
         # pending") with no summary row — reference dq_engine.py:120-121
         and r.get("logic_implementation") != "CORTEX_LLM"
     ]
-    if parallelism <= 1 or len(active) <= 1:
-        summary_rows = [_run_one(spark, rule, sink) for rule in active]
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+    # bootstrap the result plane before the run (dq_engine.py:33-45)
+    sink.ensure(spark, "dq_results", DQ_RESULTS_SCHEMA)
 
-        with ThreadPoolExecutor(max_workers=parallelism) as pool:
-            summary_rows = list(
-                pool.map(lambda r: _run_one(spark, r, sink), active)
-            )
+    # Persist each distinct source table once per run: six of the default
+    # events-rules would otherwise each re-scan the source — at 100 TB the
+    # repeated scans, not driver round trips, dominate (VERDICT r1 #10).
+    # Materialize before dispatch so parallel rule threads share the cache.
+    cached: list[str] = []
+    sources = dict.fromkeys(
+        json.loads(r.get("parameters") or "{}").get("source_table")
+        for r in active
+    )
+    for tbl in sources:
+        if not tbl:
+            continue
+        try:
+            spark.catalog.cacheTable(tbl)
+            spark.table(tbl).count()
+            cached.append(tbl)
+        except Exception:
+            pass  # unknown table: the owning rule will report ERROR itself
+
+    try:
+        if parallelism <= 1 or len(active) <= 1:
+            summary_rows = [_run_one(spark, rule, sink) for rule in active]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                summary_rows = list(
+                    pool.map(lambda r: _run_one(spark, r, sink), active)
+                )
+    finally:
+        for tbl in cached:
+            try:
+                spark.catalog.uncacheTable(tbl)
+            except Exception:
+                pass
     summary = spark.createDataFrame(summary_rows, DQ_RESULTS_SCHEMA)
     if write_summary and not isinstance(sink, NullSink):
         sink.append(summary, "dq_results")

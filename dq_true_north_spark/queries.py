@@ -479,6 +479,62 @@ FROM banded"""
 # ================================================= dashboard analytics =====
 
 
+@sql_query("sigma_warning_zone_events")
+def q_sigma_warning_zone(d: str) -> str:
+    """2–3σ warning zone (streamlit.py:1211-1222): rolling 60-row avg/stddev
+    INCLUDING the current row (window -59..0, :1212), then keep rows where
+    the actual sits strictly between the 2σ and 3σ bands; zone label by side
+    of the rolling average (:1221-1222)."""
+    s = _str_t(d)
+    w = C.ROLLING_WINDOW_DAYS
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         SUM(value) AS daily_total
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), banded AS (
+  SELECT event_type, event_date, daily_total,
+      AVG(daily_total) OVER (PARTITION BY event_type ORDER BY event_date
+          ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS avg_60d,
+      STDDEV_SAMP(daily_total) OVER (PARTITION BY event_type ORDER BY event_date
+          ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS std_60d
+  FROM daily
+)
+SELECT event_type, CAST(event_date AS {s}) AS event_date,
+    round(daily_total, 4) AS daily_total,
+    round(avg_60d, 4) AS avg_60d,
+    round(std_60d, 4) AS std_60d,
+    CASE WHEN daily_total > avg_60d THEN 'Upper Warning Zone'
+         ELSE 'Lower Warning Zone' END AS zone
+FROM banded
+WHERE std_60d IS NOT NULL
+  AND ((daily_total > avg_60d + 2 * std_60d AND daily_total <= avg_60d + 3 * std_60d)
+    OR (daily_total < avg_60d - 2 * std_60d AND daily_total >= avg_60d - 3 * std_60d))"""
+
+
+@sql_query("segment_filter_events")
+def q_segment_filter(d: str) -> str:
+    """Read-side brand/segment filtering (streamlit.py:24-112): keep rows
+    whose name column CONTAINS the filter string (case-insensitive,
+    :40-41) OR whose JSON segment payload carries the matching key value
+    (:95-106) — the dashboard's client-side pandas filter as one
+    server-side predicate, with a matched_by breakdown."""
+    if d == SPARK:
+        k = "get_json_object(props, '$.k')"
+    else:
+        k = "json_extract_string(props, '$.k')"
+    name_hit = "contains(lower(event_type), 'ick')"
+    json_hit = f"{k} = '42'"
+    return f"""
+SELECT event_id, event_type,
+    CAST({name_hit} AS INT) AS name_match,
+    CAST(COALESCE({json_hit}, FALSE) AS INT) AS json_match,
+    CASE WHEN {name_hit} AND COALESCE({json_hit}, FALSE) THEN 'both'
+         WHEN {name_hit} THEN 'name' ELSE 'json' END AS matched_by
+FROM events
+WHERE {name_hit} OR COALESCE({json_hit}, FALSE)"""
+
+
 @sql_query("events_sessionization")
 def q_sessionization(d: str) -> str:
     """Sessionization: per-user gaps-and-islands where a >30-minute silence

@@ -32,10 +32,16 @@ def execute_generic_sql(spark: SparkSession, rule: dict, params: dict, sink) -> 
 
 
 def execute_uniqueness_sql(spark: SparkSession, rule: dict, params: dict, sink) -> RuleResult:
-    """logic_definition holds the inner row-set query directly (the rebuild
-    drops the reference's regex extraction of `FROM (...) as dupes`, :69-72;
-    SURVEY.md §3.2)."""
-    inner = spark.sql(rule["logic_definition"])
+    """logic_definition holds the inner row-set query directly; catalogs
+    migrated from the reference may instead hold its outer
+    `SELECT COUNT(*) FROM (SELECT ...) as dupes` form, whose inner query is
+    extracted with the reference's own regex (dq_rules_library.py:69-72)."""
+    import re
+
+    logic = rule["logic_definition"]
+    m = re.search(r"\((SELECT.*)\)\s+as\s+dupes", logic,
+                  re.IGNORECASE | re.DOTALL)
+    inner = spark.sql(m.group(1) if m else logic)
     cols = inner.columns
     groups = (
         inner.groupBy(*cols)

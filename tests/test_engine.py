@@ -139,3 +139,74 @@ def test_duplicate_check_normalization(spark, sink):
     row = summary.first()
     assert row["indicator"] == C.FAIL
     assert row["result_value"] == "1"  # one duplicate group: (A, 1.00)
+
+
+def test_sink_bootstrap_creates_empty_table(spark, tmp_path):
+    """Reference probe + CREATE-on-miss (dq_engine.py:33-45): the table is
+    readable with the declared schema before any rule has appended."""
+    from dq_true_north_spark.engine import DQ_RESULTS_SCHEMA
+    from dq_true_north_spark.io import ResultSink
+
+    s = ResultSink(str(tmp_path / "boot"))
+    s.ensure(spark, "dq_results", DQ_RESULTS_SCHEMA)
+    df = s.read(spark, "dq_results")
+    assert df.count() == 0
+    assert "rule_name" in df.columns and "execution_timestamp" in df.columns
+
+
+def test_sink_schema_self_heal(spark, tmp_path):
+    """Reference recreate-on-schema-drift (dq_engine.py:64-85): appending a
+    drifted schema recreates the table instead of poisoning the parquet dir
+    at read time."""
+    from dq_true_north_spark.io import ResultSink
+
+    s = ResultSink(str(tmp_path / "heal"))
+    s.append(spark.createDataFrame([("a", 1)], "name string, n int"), "t")
+    # drift: column renamed + type changed
+    s.append(spark.createDataFrame([("b", 2.5)], "name string, score double"), "t")
+    out = s.read(spark, "t")
+    assert set(out.columns) == {"name", "score", "execution_timestamp"}
+    assert out.count() == 1  # recreated (reference CREATE OR REPLACE drops rows)
+    # compatible appends still accumulate
+    s.append(spark.createDataFrame([("c", 3.5)], "name string, score double"), "t")
+    assert s.read(spark, "t").count() == 2
+
+
+def test_sink_concurrent_appends_same_table(spark, tmp_path):
+    """Per-table lock: N driver threads appending to ONE details table must
+    lose no rows (two FileOutputCommitter jobs on one path share the
+    _temporary staging dir without it)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dq_true_north_spark.io import ResultSink
+
+    s = ResultSink(str(tmp_path / "conc"))
+    frames = [
+        spark.createDataFrame([(i, f"r{i}")], "i int, v string")
+        for i in range(8)
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda f: s.append(f, "details"), frames))
+    out = s.read(spark, "details")
+    assert out.count() == 8
+    assert sorted(r["i"] for r in out.collect()) == list(range(8))
+
+
+def test_uniqueness_accepts_reference_outer_form(spark):
+    """Catalogs migrated from the reference store the OUTER count query;
+    the inner row-set is extracted with the reference's regex
+    (dq_rules_library.py:69-72)."""
+    load_tables(spark, SF_DIR, TABLES)
+    outer = ("SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber "
+             "FROM lineitem) as dupes")
+    rule = {
+        "rule_id": 91, "rule_name": "uniq_outer", "rule_type": "UNIQUENESS",
+        "logic_implementation": "SQL_QUERY", "logic_definition": outer,
+        "parameters": "{}", "segment_value": "", "is_active": True,
+    }
+    direct = dict(rule, rule_id=92, rule_name="uniq_inner",
+                  logic_definition="SELECT l_orderkey, l_linenumber FROM lineitem")
+    summary = run_catalog(spark, [rule, direct], write_summary=False)
+    rows = {r["rule_name"]: r for r in summary.collect()}
+    assert rows["uniq_outer"]["result_value"] == rows["uniq_inner"]["result_value"]
+    assert rows["uniq_outer"]["indicator"] == rows["uniq_inner"]["indicator"]
