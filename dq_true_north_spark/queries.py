@@ -816,6 +816,34 @@ WHERE CAST({inter} AS DOUBLE) /
       nullif({sz}(a.sh) + {sz}(b.sh) - {inter}, 0) >= 0.10"""
 
 
+@sql_query("embedding_near_dup_pairs")
+def q_embedding_near_dup(d: str) -> str:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine(emb_a, emb_b) >= threshold. The test embeddings are random, so
+    the threshold (0.35) sits in the observable tail; a production corpus
+    of model embeddings uses ~0.95. At scale the pair space is generated by
+    the hyperplane-LSH buckets (similarity.ann_lsh_topk) instead of this
+    brute self-join — same scoring expression, bucketed candidates."""
+    if d == SPARK:
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+               "(x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), "
+               "CAST(0.0 AS DOUBLE), (s,v)->s+v)")
+        nrm = ("sqrt(aggregate(transform({t}.embedding, "
+               "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), "
+               "CAST(0.0 AS DOUBLE), (s,v)->s+v))")
+    else:
+        dot = ("list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+               "CAST(b.embedding AS DOUBLE[]))")
+        nrm = ("sqrt(list_dot_product(CAST({t}.embedding AS DOUBLE[]), "
+               "CAST({t}.embedding AS DOUBLE[])))")
+    na, nb = nrm.format(t="a"), nrm.format(t="b")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({dot} / ({na} * {nb}), 4) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {dot} / ({na} * {nb}) >= 0.35"""
+
+
 @df_query("minhash_pairs_pages")
 def q_minhash_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates over the synthetic corpus — finds the
