@@ -878,6 +878,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, dim=64, query_filter="vec_id % 100 = 0", n_planes=4, n_tables=8)
 
 
+@df_query("near_dup_clusters_pages")
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster formation: MinHash LSH pairs → connected
+    components (min-label propagation) → (doc, cluster_id, is_representative).
+    The step between pair generation and actually dropping duplicates —
+    keep-one-per-cluster with the same min-key tie-break as exact dedup.
+    Iterative (driver-controlled loop) → rows-only driver check; planted
+    ground truth is asserted in tests/test_dedup_similarity.py."""
+    from pyspark.sql import functions as F
+
+    from .corpus import n_pages_for_sf, pages_df
+    from .textquality.dedup import minhash_candidate_pairs, near_dup_clusters
+
+    pages = pages_df(spark, min(n_pages_for_sf(sf_dir), 10_000))
+    pairs = minhash_candidate_pairs(pages, id_col="url", text_col="text")
+    return near_dup_clusters(pairs).select(
+        "doc", "cluster_id",
+        (F.col("doc") == F.col("cluster_id")).cast("int").alias("is_representative"),
+    )
+
+
 @df_query("doc_fingerprints")
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (Arrow-batched UDF)."""

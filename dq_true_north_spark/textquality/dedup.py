@@ -279,3 +279,91 @@ def simhash_bucket_report(
         F.col(id_col).alias("doc"), "simhash"
     )
     return lsh_bucket_report(_bucketed(_simhash_chunked(sh), ["simhash"]), max_bucket)
+
+
+# ----------------------------------------- near-dup cluster formation ------
+
+
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components over candidate pairs → (doc, cluster_id), with
+    cluster_id = the lexicographically smallest member (the keep-first
+    representative, same tie-break discipline as exact dedup).
+
+    Input: pairs(doc_a, doc_b) from minhash_candidate_pairs /
+    simhash_near_pairs. Algorithm: iterative min-label propagation — each
+    round every node takes the min label among itself and its neighbors
+    (one symmetric-edge join + one groupBy per round), until a fixpoint.
+    Rounds needed = component diameter; LSH components are near-cliques
+    (every member shared a bucket with the seed), so diameter is tiny by
+    construction — max_iters=10 covers pathological chains; convergence is
+    CHECKED, not assumed (raises if the cap was hit while still moving,
+    mirroring the capped-bucket honesty rule). At 10^12 docs swap the loop
+    body for alternating large-star/small-star contraction (same join
+    shape, O(log n) rounds) — the per-round plan here is already the
+    star-contraction primitive.
+
+    Lineage is cut with localCheckpoint each round: an iterative join loop
+    otherwise compounds the logical plan and re-executes round 1 at round k.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy(F.col("src").alias("doc"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if moved == 0:
+            return labels
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_iters} rounds "
+        f"({moved} labels still moving) — raise max_iters or use "
+        "star contraction for long-chain graphs"
+    )
+
+
+def keep_representatives(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "url") -> DataFrame:
+    """Drop every near-duplicate except its cluster representative (the
+    min-id member). Docs in no pair are kept. The cluster map is tiny
+    relative to the corpus (only docs that appeared in a candidate pair),
+    so the join-back broadcasts — same shape as the exact-dedup loser
+    join."""
+    losers = (
+        near_dup_clusters(pairs)
+        .filter(F.col("doc") != F.col("cluster_id"))
+        .select(F.col("doc").alias(id_col))
+        .withColumn("_near_dup", F.lit(1))
+    )
+    return (
+        df.join(F.broadcast(losers), [id_col], "left")
+        .filter(F.col("_near_dup").isNull())
+        .drop("_near_dup")
+    )

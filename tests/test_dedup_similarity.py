@@ -214,3 +214,61 @@ def test_simhash_fold_is_batch_split_invariant(spark):
     empty = spark.createDataFrame([("u", ""), ("v", "   ")], "url string, text string")
     vals = {r["url"]: r["simhash"] for r in with_simhash(empty).collect()}
     assert vals == {"u": 0, "v": 0}
+
+
+def test_near_dup_clusters_chain_and_representatives(spark):
+    """A pair chain a-b, b-c, c-d collapses to ONE cluster labeled by its
+    min member; singletons outside any pair are untouched by
+    keep_representatives."""
+    from dq_true_north_spark.textquality.dedup import (
+        keep_representatives,
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+    docs = spark.createDataFrame(
+        [(u, f"text {u}") for u in ["a", "b", "c", "d", "x", "y", "lonely"]],
+        "url string, text string",
+    )
+    kept = {r["url"] for r in keep_representatives(docs, pairs).collect()}
+    assert kept == {"a", "x", "lonely"}
+
+
+def test_near_dup_clusters_on_planted_corpus(spark):
+    """Planted class-7/8 exact-dup pairs land in the same cluster and only
+    one member of each pair survives keep_representatives."""
+    import re
+
+    from dq_true_north_spark.textquality.dedup import (
+        keep_representatives,
+        near_dup_clusters,
+    )
+
+    n = 600
+    pages = pages_df(spark, n, partitions=4)
+    pairs = minhash_candidate_pairs(pages, id_col="url", text_col="text")
+    labels = {r["doc"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+
+    def idx(url):
+        return int(re.search(r"page-(\d+)\.html", url).group(1))
+
+    by_idx = {idx(u): c for u, c in labels.items()}
+    planted = _planted_dup_pairs(n)
+    same = sum(1 for a, b in planted
+               if a in by_idx and b in by_idx and by_idx[a] == by_idx[b])
+    assert same / len(planted) >= 0.99
+
+    kept = {r["url"] for r in keep_representatives(pages, pairs, "url").collect()}
+    survivors = sum(1 for a, b in planted
+                    if sum(1 for u in labels if idx(u) in (a, b) and u in kept) <= 1)
+    assert survivors == len(planted)
+    # non-paired docs all survive (urls, not rows: class 13 reuses a url)
+    all_urls = {r["url"] for r in pages.select("url").distinct().collect()}
+    losers = {d for d, c in labels.items() if d != c}
+    assert kept == all_urls - losers
