@@ -47,3 +47,88 @@ def test_stream_processes_drops_and_resumes(spark, tmp_path):
     for k in diff:
         assert "exact_duplicate" in b[k][1] or "exact_duplicate" in s[k][1]
     assert len(diff) <= 30
+
+
+def _page_rows(spec):
+    """spec: list of (url, iso_ts, text) → PAGES_SCHEMA-shaped tuples."""
+    import datetime
+
+    return [
+        (url, datetime.datetime.fromisoformat(ts),
+         f"<html>{text}</html>".encode(), text, "en")
+        for url, ts, text in spec
+    ]
+
+
+def _write_rows(spark, rows, path):
+    from dq_true_north_spark.corpus import PAGES_SCHEMA
+
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
+def test_stream_windowed_rates_with_watermark(spark, tmp_path):
+    """Append-mode windowed counts finalize once the watermark passes the
+    window end; a row later than the watermark is DROPPED, not re-counted."""
+    from dq_true_north_spark.streaming import stream_host_rates
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    h = "https://hostA.example.org/p"
+    # windows are 10 min; watermark lag 10 min
+    _write_rows(spark, _page_rows([
+        (h + "1", "2024-01-01 10:01:00", "a"),
+        (h + "2", "2024-01-01 10:04:00", "b"),
+        (h + "3", "2024-01-01 10:22:00", "c"),   # advances watermark to 10:12
+    ]), inp)
+    q = stream_host_rates(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    rows = {(str(r["window_start"]), r["n_pages"])
+            for r in spark.read.parquet(out).collect()}
+    # [10:00,10:10) finalized with 2 pages; [10:20,10:30) still open
+    assert rows == {("2024-01-01 10:00:00", 2)}
+
+    # restart from checkpoint: one LATE row into the closed window (ignored)
+    # plus rows at 10:41 that push the watermark past [10:20,10:30)
+    _write_rows(spark, _page_rows([
+        (h + "4", "2024-01-01 10:03:00", "late"),   # < watermark 10:12
+        (h + "5", "2024-01-01 10:41:00", "d"),
+    ]), inp)
+    q2 = stream_host_rates(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    rows = {(str(r["window_start"]), r["n_pages"])
+            for r in spark.read.parquet(out).collect()}
+    assert ("2024-01-01 10:00:00", 2) in rows          # unchanged: late row dropped
+    assert ("2024-01-01 10:20:00", 1) in rows          # now finalized
+    assert not any(s == "2024-01-01 10:00:00" and n != 2 for s, n in rows)
+
+
+def test_stream_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps ONE row per distinct text across
+    micro-batches AND restarts — the cross-batch dedup foreachBatch cannot
+    do (state persists in the checkpoint)."""
+    from dq_true_north_spark.streaming import stream_dedup_stateful
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in2", "out2", "ckpt2"))
+    _write_rows(spark, _page_rows([
+        ("https://h/a", "2024-01-01 10:00:00", "same text"),
+        ("https://h/b", "2024-01-01 10:01:00", "same text"),     # in-batch dup
+        ("https://h/c", "2024-01-01 10:02:00", "other text"),
+    ]), inp)
+    q = stream_dedup_stateful(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    first = {r["url"]: r["is_first"] for r in spark.read.parquet(out).collect()}
+    assert first == {"https://h/a": 1, "https://h/b": 0, "https://h/c": 1}
+
+    # second drop after restart: the same text must NOT get a new keeper
+    _write_rows(spark, _page_rows([
+        ("https://h/d", "2024-01-01 11:00:00", "same text"),     # cross-batch dup
+        ("https://h/e", "2024-01-01 11:01:00", "brand new"),
+    ]), inp)
+    q2 = stream_dedup_stateful(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    first = {r["url"]: r["is_first"] for r in rows}
+    assert first["https://h/d"] == 0      # state remembered "same text"
+    assert first["https://h/e"] == 1
+    keepers = [r for r in rows if r["is_first"] == 1]
+    assert len(keepers) == 3              # one per distinct text, total
