@@ -36,6 +36,10 @@ HEADLINE_QUERIES = (
     "cosine_topk_embeddings",
     "minhash_pairs_pages",
     "scrub_documents",
+    "sigma_warning_zone_events",
+    "segment_filter_events",
+    "embedding_near_dup_pairs",
+    "near_dup_clusters_pages",
 )
 
 

@@ -99,6 +99,29 @@ def main() -> None:
         "Python; the band-bucket groupBy is the ONLY shuffle; pair expansion "
         "happens inside capped buckets (max 64 members).",
     )
+    cap(
+        "segment_filter_events (contains + JSON key)",
+        reg["segment_filter_events"]["spark"](spark, SF),
+        "The contains/JSON predicate is evaluated in the scan stage "
+        "(Filter fused into WholeStageCodegen directly over the parquet "
+        "scan; string/JSON functions are not pushable into parquet footers, "
+        "but no row survives past the first stage) — zero shuffle.",
+    )
+    cap(
+        "embedding_near_dup_pairs",
+        reg["embedding_near_dup_pairs"]["spark"](spark, SF),
+        "Brute scorer: self-join with a BROADCAST build side (embeddings "
+        "fit comfortably; at corpus scale the LSH buckets generate the "
+        "candidates instead), cosine as JVM higher-order functions in "
+        "codegen, vec_id < vec_id pruning before the similarity filter.",
+    )
+    cap(
+        "sigma_warning_zone_events",
+        reg["sigma_warning_zone_events"]["spark"](spark, SF),
+        "Same single-shuffle shape as sigma_bands: partial agg -> one "
+        "exchange on event_type -> WindowExec (including current row, per "
+        "the dashboard) -> codegen band-membership filter.",
+    )
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(HDR + "\n" + "\n".join(sections))
