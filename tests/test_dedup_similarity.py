@@ -293,3 +293,44 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
     emb.unpersist()
+
+
+def test_near_dup_clusters_matches_union_find_reference(spark):
+    """min-label propagation == driver-side union-find on seeded random
+    graphs (including long chains that need several rounds)."""
+    import random
+
+    from dq_true_north_spark.textquality.dedup import near_dup_clusters
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # label = min member of the component
+        comp = {}
+        for x in list(parent):
+            comp.setdefault(find(x), set()).add(x)
+        return {x: min(m) for r, m in comp.items() for x in m}
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        nodes = [f"n{i:03d}" for i in range(40)]
+        edges = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)}
+        # plus a deliberate 8-node chain (worst case for label propagation)
+        chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(8)]
+        all_edges = sorted(edges) + chain
+        expected = union_find_labels(all_edges)
+        pairs = spark.createDataFrame(all_edges, "doc_a string, doc_b string")
+        got = {r["doc"]: r["cluster_id"]
+               for r in near_dup_clusters(pairs, max_iters=15).collect()}
+        assert got == expected, f"seed {seed}"
