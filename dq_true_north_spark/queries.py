@@ -189,9 +189,9 @@ def q_doc_quality_score(d: str) -> str:
         f"THEN 1.0 ELSE 0.0 END"
     )
     return (
-        f"SELECT doc_id, round(("
+        f"SELECT doc_id, (floor((("
         f"least(coalesce({stop}, 0.0) * 10.0, 1.0) + {alpha} + {lensig}"
-        f") / 3.0, 4) AS quality_score FROM documents"
+        f") / 3.0) * 1e4 + 0.5) / 1e4) AS quality_score FROM documents"
     )
 
 
@@ -281,7 +281,7 @@ WITH win AS (
 )
 SELECT event_type, event_id,
        CAST(ts AS {_str_t(d)}) AS calculation_ts,
-       round(rolling_avg, 4) AS average_value
+       (floor((rolling_avg) * 1e4 + 0.5) / 1e4) AS average_value
 FROM win WHERE rn = 1"""
 
 
@@ -300,9 +300,9 @@ WITH lagged AS (
 )
 SELECT event_type, event_id,
        CAST(ts AS {_str_t(d)}) AS event_ts,
-       round(value, 4) AS metric_value,
-       round(prev_value, 4) AS previous_metric_value,
-       round((value - prev_value) / prev_value, 4) AS percent_change
+       (floor((value) * 1e4 + 0.5) / 1e4) AS metric_value,
+       (floor((prev_value) * 1e4 + 0.5) / 1e4) AS previous_metric_value,
+       (floor(((value - prev_value) / prev_value) * 1e4 + 0.5) / 1e4) AS percent_change
 FROM lagged
 WHERE prev_value IS NOT NULL AND prev_value <> 0
   AND abs((value - prev_value) / prev_value) >= {C.SPIKE_THRESHOLD}"""
@@ -351,12 +351,12 @@ def q_negative_values(d: str) -> str:
     return f"""
 SELECT CAST(c_custkey AS {s}) AS record_id,
        'customer' AS source_table, 'c_acctbal' AS field_name,
-       round(c_acctbal, 2) AS negative_value
+       (floor((c_acctbal) * 1e2 + 0.5) / 1e2) AS negative_value
 FROM customer WHERE c_acctbal < 0
 UNION ALL
 SELECT CAST(s_suppkey AS {s}) AS record_id,
        'supplier' AS source_table, 's_acctbal' AS field_name,
-       round(s_acctbal, 2) AS negative_value
+       (floor((s_acctbal) * 1e2 + 0.5) / 1e2) AS negative_value
 FROM supplier WHERE s_acctbal < 0"""
 
 
@@ -439,7 +439,7 @@ SELECT dataset_name, actual_count, previous_cumulative_count,
     dropped_day_count, newest_day_count,
     {expected} AS expected_count,
     {dev} AS deviation,
-    round({pct}, 4) AS deviation_percentage,
+    (floor(({pct}) * 1e4 + 0.5) / 1e4) AS deviation_percentage,
     CAST(CASE WHEN {pct} > {C.HIST_TOLERANCE}
         THEN 1 ELSE 0 END AS INT) AS is_breach
 FROM agg"""
@@ -467,9 +467,9 @@ WITH daily AS (
   FROM daily
 )
 SELECT event_type, CAST(event_date AS {s}) AS event_date,
-    round(daily_total, 4) AS daily_total,
-    round(avg_value, 4) AS avg_value,
-    round(std_value, 4) AS std_value,
+    (floor((daily_total) * 1e4 + 0.5) / 1e4) AS daily_total,
+    (floor((avg_value) * 1e4 + 0.5) / 1e4) AS avg_value,
+    (floor((std_value) * 1e4 + 0.5) / 1e4) AS std_value,
     CAST(CASE WHEN std_value IS NOT NULL
               AND abs(daily_total - avg_value) > {C.SIGMA_BAND} * std_value
          THEN 1 ELSE 0 END AS INT) AS is_anomaly
@@ -501,9 +501,9 @@ WITH daily AS (
   FROM daily
 )
 SELECT event_type, CAST(event_date AS {s}) AS event_date,
-    round(daily_total, 4) AS daily_total,
-    round(avg_60d, 4) AS avg_60d,
-    round(std_60d, 4) AS std_60d,
+    (floor((daily_total) * 1e4 + 0.5) / 1e4) AS daily_total,
+    (floor((avg_60d) * 1e4 + 0.5) / 1e4) AS avg_60d,
+    (floor((std_60d) * 1e4 + 0.5) / 1e4) AS std_60d,
     CASE WHEN daily_total > avg_60d THEN 'Upper Warning Zone'
          ELSE 'Lower Warning Zone' END AS zone
 FROM banded
@@ -564,7 +564,7 @@ SELECT user_id, session_id,
        COUNT(*) AS n_events,
        CAST(MIN(ts) AS {s}) AS session_start,
        CAST(MAX(ts) AS {s}) AS session_end,
-       round(SUM(value), 4) AS session_value
+       (floor((SUM(value)) * 1e4 + 0.5) / 1e4) AS session_value
 FROM sessions
 GROUP BY user_id, session_id"""
 
@@ -576,7 +576,7 @@ def q_doc_length_quantiles(d: str) -> str:
     `percentile` == DuckDB `quantile_cont` (both linear interpolation)."""
     fn = "percentile" if d == SPARK else "quantile_cont"
     qs = ", ".join(
-        f"round({fn}(n_chars, {q}), 4) AS q{int(q * 100)}"
+        f"(floor(({fn}(n_chars, {q})) * 1e4 + 0.5) / 1e4) AS q{int(q * 100)}"
         for q in (0.25, 0.5, 0.75, 0.95)
     )
     return f"SELECT lang, COUNT(*) AS n_docs, {qs} FROM documents GROUP BY lang"
@@ -623,7 +623,7 @@ WITH exploded AS (
 SELECT doc_id,
        CAST(top_count AS BIGINT) AS top_count,
        total_grams,
-       round(CAST(top_count AS DOUBLE) / nullif(total_grams, 0), 4)
+       (floor((CAST(top_count AS DOUBLE) / nullif(total_grams, 0)) * 1e4 + 0.5) / 1e4)
            AS top_bigram_fraction,
        CAST(CASE WHEN CAST(top_count AS DOUBLE) / nullif(total_grams, 0) > 0.20
             THEN 1 ELSE 0 END AS INT) AS is_repetitive
@@ -681,9 +681,9 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("text", 0.02).alias("approx_texts"),
     ).selectExpr(
         "rows", "exact_urls", "approx_urls",
-        "round(abs(approx_urls - exact_urls) / exact_urls, 4) AS url_rel_err",
+        "(floor((abs(approx_urls - exact_urls) / exact_urls) * 1e4 + 0.5) / 1e4) AS url_rel_err",
         "exact_texts", "approx_texts",
-        "round(abs(approx_texts - exact_texts) / exact_texts, 4) AS text_rel_err",
+        "(floor((abs(approx_texts - exact_texts) / exact_texts) * 1e4 + 0.5) / 1e4) AS text_rel_err",
     )
 
 
@@ -694,7 +694,7 @@ def q_top_k_days(d: str) -> str:
     s = _str_t(d)
     return f"""
 SELECT event_type, CAST(event_date AS {s}) AS event_date,
-       round(daily_total, 4) AS daily_total
+       (floor((daily_total) * 1e4 + 0.5) / 1e4) AS daily_total
 FROM (
   SELECT event_type, CAST(ts AS DATE) AS event_date, SUM(value) AS daily_total
   FROM events GROUP BY event_type, CAST(ts AS DATE)
@@ -725,7 +725,7 @@ spikes AS (
     AND abs((value - prev) / prev) >= {C.SPIKE_THRESHOLD}
 )
 SELECT daily.event_type, CAST(daily.event_date AS {s}) AS event_date,
-       round(daily.daily_total, 4) AS daily_total,
+       (floor((daily.daily_total) * 1e4 + 0.5) / 1e4) AS daily_total,
        CAST(CASE WHEN spikes.event_type IS NULL THEN 0 ELSE 1 END AS INT) AS has_spike
 FROM daily LEFT JOIN spikes
   ON daily.event_type = spikes.event_type
@@ -746,7 +746,7 @@ def q_json_props(d: str) -> str:
 SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM({k}) AS BIGINT) AS k_total,
-       round(AVG({k}), 4) AS k_avg
+       (floor((AVG({k})) * 1e4 + 0.5) / 1e4) AS k_avg
 FROM events
 GROUP BY event_type"""
 
@@ -784,7 +784,7 @@ scored AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+SELECT query_id, neighbor_id, rank, (floor((sim) * 1e4 + 0.5) / 1e4) AS cosine_sim
 FROM ranked WHERE rank <= {C.COSINE_TOPK}"""
 
 
@@ -809,8 +809,8 @@ WITH sh AS (
   SELECT doc_id, source, {sh} AS sh FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST({inter} AS DOUBLE) /
-             nullif({sz}(a.sh) + {sz}(b.sh) - {inter}, 0), 4) AS jaccard
+       (floor((CAST({inter} AS DOUBLE) /
+             nullif({sz}(a.sh) + {sz}(b.sh) - {inter}, 0)) * 1e4 + 0.5) / 1e4) AS jaccard
 FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST({inter} AS DOUBLE) /
       nullif({sz}(a.sh) + {sz}(b.sh) - {inter}, 0) >= 0.10"""
@@ -847,7 +847,7 @@ WITH n AS (
   FROM (SELECT vec_id, label, {emb} AS emb FROM embeddings) t
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({dot} / (a.nrm * b.nrm), 4) AS cosine_sim
+       (floor(({dot} / (a.nrm * b.nrm)) * 1e4 + 0.5) / 1e4) AS cosine_sim
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {dot} / (a.nrm * b.nrm) >= 0.35"""
 

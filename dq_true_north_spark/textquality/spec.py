@@ -86,6 +86,22 @@ def arr_intersect(dialect: str, a: str, b: str) -> str:
     return f"{fn}({a}, {b})"
 
 
+
+
+def round4(expr: str, n: int = 4) -> str:
+    """Deterministic cross-engine rounding: floor(x*10^n + 0.5)/10^n.
+
+    Spark's round() (BigDecimal HALF_UP on the exact binary value),
+    DuckDB's round(), and Python's round() (half-even) disagree at decimal
+    half-boundaries — ratios of 2-decimal inputs hit them for real
+    (46.71/1.6 = 29.19375 rounded to .1937 by Spark, .1938 by DuckDB at
+    sf0.1). floor/multiply/add are individually-exact IEEE ops, so this
+    rendering is bit-identical across Spark SQL, DuckDB and CPython by
+    construction (half-toward-+inf convention). tests/golden.py mirrors it
+    as _r4."""
+    return f"(floor(({expr}) * 1e{n} + 0.5) / 1e{n})"
+
+
 # --------------------------------------------------------------- metrics ---
 # Each metric is a function (dialect, text_expr) -> SQL expression string.
 
@@ -101,15 +117,14 @@ def n_word_chars(d: str, t: str) -> str:
 
 
 def mean_word_len(d: str, t: str) -> str:
-    return (
-        f"round(CAST({n_word_chars(d, t)} AS DOUBLE) / "
-        f"nullif({n_words(d, t)}, 0), 4)"
+    return round4(
+        f"CAST({n_word_chars(d, t)} AS DOUBLE) / nullif({n_words(d, t)}, 0)"
     )
 
 
 def symbol_word_ratio(d: str, t: str) -> str:
     sym = rx_count(d, t, r"[#…]")
-    return f"round(CAST({sym} AS DOUBLE) / nullif({n_words(d, t)}, 0), 4)"
+    return round4(f"CAST({sym} AS DOUBLE) / nullif({n_words(d, t)}, 0)")
 
 
 def _lower_words(d: str, t: str) -> str:
@@ -123,9 +138,8 @@ def stopword_count(d: str, t: str) -> str:
 
 
 def stopword_fraction(d: str, t: str) -> str:
-    return (
-        f"round(CAST({stopword_count(d, t)} AS DOUBLE) / "
-        f"nullif({n_words(d, t)}, 0), 4)"
+    return round4(
+        f"CAST({stopword_count(d, t)} AS DOUBLE) / nullif({n_words(d, t)}, 0)"
     )
 
 
@@ -140,9 +154,9 @@ def alpha_word_count(d: str, t: str) -> str:
 
 
 def non_alpha_word_fraction(d: str, t: str) -> str:
-    return (
-        f"round(CAST({n_words(d, t)} - {alpha_word_count(d, t)} AS DOUBLE) / "
-        f"nullif({n_words(d, t)}, 0), 4)"
+    return round4(
+        f"CAST({n_words(d, t)} - {alpha_word_count(d, t)} AS DOUBLE) / "
+        f"nullif({n_words(d, t)}, 0)"
     )
 
 
@@ -153,21 +167,21 @@ def _nonempty_lines(d: str, t: str) -> str:
 def ellipsis_line_fraction(d: str, t: str) -> str:
     nl = _nonempty_lines(d, t)
     hit = arr_filter(d, nl, "l -> l LIKE '%...'")
-    return f"round(CAST({size(d, hit)} AS DOUBLE) / nullif({size(d, nl)}, 0), 4)"
+    return round4(f"CAST({size(d, hit)} AS DOUBLE) / nullif({size(d, nl)}, 0)")
 
 
 def bullet_line_fraction(d: str, t: str) -> str:
     nl = _nonempty_lines(d, t)
     pred = "l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'"
     hit = arr_filter(d, nl, pred)
-    return f"round(CAST({size(d, hit)} AS DOUBLE) / nullif({size(d, nl)}, 0), 4)"
+    return round4(f"CAST({size(d, hit)} AS DOUBLE) / nullif({size(d, nl)}, 0)")
 
 
 def dup_line_fraction(d: str, t: str) -> str:
     nl = _nonempty_lines(d, t)
-    return (
-        f"round(1.0 - CAST({size(d, arr_distinct(d, nl))} AS DOUBLE) / "
-        f"nullif({size(d, nl)}, 0), 4)"
+    return round4(
+        f"1.0 - CAST({size(d, arr_distinct(d, nl))} AS DOUBLE) / "
+        f"nullif({size(d, nl)}, 0)"
     )
 
 

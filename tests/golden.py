@@ -11,6 +11,7 @@ implementation per SURVEY.md §7 hard-point 2.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import pandas as pd
@@ -25,6 +26,14 @@ _SYMBOL_RE = re.compile(r"[#…]")
 _STOPSET = set(C.STOPWORDS)
 
 
+def _r4(v: float) -> float:
+    """Mirror of spec.round4: floor(x*1e4+0.5)/1e4 — bit-identical to the
+    Spark/DuckDB rendering (Python round() is half-even and disagrees at
+    decimal half-boundaries)."""
+    return math.floor(v * 1e4 + 0.5) / 1e4
+
+
+
 def heuristic_reasons(text: str) -> list[str]:
     words = _WORD_RE.findall(text)
     nw = len(words)
@@ -33,31 +42,31 @@ def heuristic_reasons(text: str) -> list[str]:
         reasons.append(C.REASON_TOO_SHORT)
     if nw > C.MAX_WORDS:
         reasons.append(C.REASON_TOO_LONG)
-    mwl = round(sum(len(w) for w in words) / nw, 4) if nw else None
+    mwl = _r4(sum(len(w) for w in words) / nw) if nw else None
     if mwl is not None and (mwl < C.MIN_MEAN_WORD_LEN or mwl > C.MAX_MEAN_WORD_LEN):
         reasons.append(C.REASON_MEAN_WORD_LEN)
-    if nw and round(len(_SYMBOL_RE.findall(text)) / nw, 4) > C.MAX_SYMBOL_WORD_RATIO:
+    if nw and _r4(len(_SYMBOL_RE.findall(text)) / nw) > C.MAX_SYMBOL_WORD_RATIO:
         reasons.append(C.REASON_SYMBOL_RATIO)
     low = [w.lower() for w in words]
     n_stop = sum(1 for w in low if w in _STOPSET)
     distinct_stop = len({w for w in low if w in _STOPSET})
-    frac_low = nw > 0 and round(n_stop / nw, 4) < C.MIN_STOPWORD_FRACTION
+    frac_low = nw > 0 and _r4(n_stop / nw) < C.MIN_STOPWORD_FRACTION
     if frac_low or distinct_stop < C.MIN_DISTINCT_STOPWORDS:
         reasons.append(C.REASON_STOPWORDS)
     n_alpha = sum(1 for w in words if _ALPHA_RE.search(w))
-    if nw and round((nw - n_alpha) / nw, 4) > C.MAX_NON_ALPHA_WORD_FRACTION:
+    if nw and _r4((nw - n_alpha) / nw) > C.MAX_NON_ALPHA_WORD_FRACTION:
         reasons.append(C.REASON_NON_ALPHA)
     lines = [ln for ln in text.split("\n") if ln != ""]
     if lines:
-        if round(sum(1 for ln in lines if ln.endswith("...")) / len(lines), 4) > C.MAX_ELLIPSIS_LINE_FRACTION:
+        if _r4(sum(1 for ln in lines if ln.endswith("...")) / len(lines)) > C.MAX_ELLIPSIS_LINE_FRACTION:
             reasons.append(C.REASON_ELLIPSIS)
         bullet = sum(
             1 for ln in lines
             if ln.startswith("- ") or ln.startswith("* ") or ln.startswith("•")
         )
-        if round(bullet / len(lines), 4) > C.MAX_BULLET_LINE_FRACTION:
+        if _r4(bullet / len(lines)) > C.MAX_BULLET_LINE_FRACTION:
             reasons.append(C.REASON_BULLET)
-        dup_frac = round(1.0 - len(set(lines)) / len(lines), 4)
+        dup_frac = _r4(1.0 - len(set(lines)) / len(lines))
         if dup_frac > C.MAX_DUP_LINE_FRACTION:
             reasons.append(C.REASON_DUP_LINES)
     return reasons
