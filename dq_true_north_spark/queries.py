@@ -852,6 +852,41 @@ FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {dot} / (a.nrm * b.nrm) >= 0.35"""
 
 
+@sql_query("benchmark_contamination")
+def q_benchmark_contamination(d: str) -> str:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a held-out benchmark set — the check every training-data
+    pipeline runs before a corpus ships (exact n-gram overlap, the
+    GPT-3/Gopher-style decontamination criterion). Here the 'benchmark' is
+    the doc_id % 97 = 0 slice and n=3 so the synthetic corpus yields
+    signal; production uses the real eval set and n in 8..13. Scale shape:
+    the benchmark gram set is tiny by definition → Catalyst broadcasts the
+    build side of the gram equijoin; the corpus explodes grams map-side and
+    never self-joins."""
+    w = spec.words(d, "lower(text)")
+    n = 3
+    if d == SPARK:
+        grams = (f"transform(sequence(1, greatest(size({w}) - {n - 1}, 0)), "
+                 f"i -> concat_ws(' ', slice({w}, i, {n})))")
+        un = f"LATERAL VIEW explode({grams}) t AS gram"
+        from_c = f"FROM documents {un}"
+    else:
+        grams = (f"list_transform(generate_series(1, greatest(len({w}) - {n - 1}, 0)), "
+                 f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' '))")
+        from_c = f"FROM documents, unnest({grams}) AS t(gram)"
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT gram {from_c} WHERE doc_id % 97 = 0
+), dg AS (
+  SELECT doc_id, gram {from_c} WHERE doc_id % 97 <> 0
+)
+SELECT dg.doc_id,
+       CAST(COUNT(DISTINCT dg.gram) AS BIGINT) AS n_overlapping_grams,
+       CAST(1 AS INT) AS is_contaminated
+FROM dg JOIN bench ON dg.gram = bench.gram
+GROUP BY dg.doc_id"""
+
+
 @df_query("minhash_pairs_pages")
 def q_minhash_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates over the synthetic corpus — finds the
