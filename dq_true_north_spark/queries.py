@@ -852,6 +852,37 @@ FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {dot} / (a.nrm * b.nrm) >= 0.35"""
 
 
+_URL_CASES = [
+    "HTTPS://Example.COM/Path/Page?utm_source=x&id=7#frag",
+    "http://Host.org:80/a/",
+    "https://host.org:443/b?gclid=abc",
+    "https://h.io/p?a=1&utm_medium=m&b=2",
+    "https://h.io/p?utm_a=1&utm_b=2",
+    "http://plain.example.net/keep?x=1&y=2",
+    "https://UPPER.example.net:8443/Case/Kept?fbclid=zzz&ok=1",
+    "https://h.io/",
+]
+
+
+@sql_query("canonical_urls")
+def q_canonical_urls(d: str) -> str:
+    """URL canonicalization — the dedup/grouping key of a crawl pipeline:
+    fragment dropped, scheme+host lowercased, default ports removed,
+    utm_*/fbclid/gclid tracking params stripped with separator tidy-up,
+    trailing slash normalized (textquality/urlnorm.py, one frozen chain
+    rendered for Spark codegen regexp_replace AND the DuckDB oracle AND a
+    Python test reference — the scrub.py discipline). Driver tables carry
+    no URL column, so the oracle runs over a literal VALUES set covering
+    every rule."""
+    from .textquality.urlnorm import canonical_url_sql
+
+    rows = ", ".join("('" + u + "')" for u in _URL_CASES)
+    expr = canonical_url_sql(d == SPARK, "url")
+    if d == SPARK:
+        return f"SELECT url, {expr} AS canonical_url FROM VALUES {rows} AS t(url)"
+    return f"SELECT url, {expr} AS canonical_url FROM (VALUES {rows}) t(url)"
+
+
 @sql_query("benchmark_contamination")
 def q_benchmark_contamination(d: str) -> str:
     """Benchmark decontamination: flag corpus documents sharing any word

@@ -180,3 +180,34 @@ def test_dedup_strategy_parity_and_auto(spark):
     # a 50%-duplicate corpus must steer auto away from the broadcast
     half_dup = pages.select("url", "warc_ts", F.lit("same text").alias("text"))
     assert estimate_dup_fraction(half_dup) > BROADCAST_DUP_FRACTION_MAX
+
+
+def test_canonical_url_three_way_and_idempotent(spark, duck):
+    """urlnorm chain: Spark SQL == DuckDB == Python reference on the
+    rule-covering literal set + corpus urls; canonicalization idempotent."""
+    from dq_true_north_spark.queries import _URL_CASES, registry
+    from dq_true_north_spark.textquality.urlnorm import (
+        canonical_url,
+        canonical_url_sql,
+    )
+    from tests.oracle import assert_parity
+
+    q = registry()["canonical_urls"]
+    sdf = q["spark"](spark, "/root/testdata/sf0.01")
+    assert_parity(sdf, duck, q["oracle"], "canonical_urls")
+    rows = {r["url"]: r["canonical_url"] for r in sdf.collect()}
+    for u in _URL_CASES:
+        assert rows[u] == canonical_url(u), u
+        # idempotent: canon(canon(x)) == canon(x)
+        assert canonical_url(rows[u]) == rows[u], u
+    assert rows["https://h.io/p?a=1&utm_medium=m&b=2"] == "https://h.io/p?a=1&b=2"
+
+    # corpus urls survive the Spark expression unchanged-or-normalized
+    from dq_true_north_spark.corpus import pages_df
+    from pyspark.sql import functions as F
+
+    pages = pages_df(spark, 200, partitions=2)
+    expr = canonical_url_sql(True, "url")
+    out = pages.select("url", F.expr(expr).alias("c")).collect()
+    for r in out:
+        assert r["c"] == canonical_url(r["url"])
