@@ -10,11 +10,13 @@ theoretical minimum for LSH. Candidate pairs are verified by comparing
 signatures (estimated Jaccard), never by re-reading text.
 
 At 10^12 docs: band buckets on near-identical boilerplate can be huge —
-bucket size is capped (max_bucket) before pair expansion so a pathological
-bucket can't produce O(n^2) pairs. Truncation is NOT silent:
-`lsh_bucket_report` returns per-run bucket statistics (total / oversize /
-largest) from the same bucketed frame, so a boilerplate-heavy corpus shows
-its capped-bucket count next to the pair output.
+bucket membership is built in TWO phases (keys-only census → prune
+singletons and oversized buckets → collect survivors), so an oversized
+bucket is never materialized in any reducer, let alone pair-expanded.
+Truncation is NOT silent: `lsh_bucket_report` computes per-run bucket
+statistics (total / oversize / largest) from the census, so a
+boilerplate-heavy corpus shows its capped-bucket count next to the pair
+output.
 
 SimHash: 64-bit signature where the per-word hashing is JVM-side
 (`xxhash64` over the distinct word array — no Python string hashing) and the
@@ -65,10 +67,35 @@ def with_minhash(df: DataFrame, text_col: str = "text",
     return df.withColumn("minhash", sig)
 
 
-def _bucketed(keyed: DataFrame, payload_cols: list[str]) -> DataFrame:
-    """groupBy(bucket key) → sorted member list. Shared by MinHash bands and
-    SimHash chunks; the ONE shuffle in either LSH path."""
+def _bucket_sizes(keyed: DataFrame) -> DataFrame:
+    """Keys-only bucket census — a partial-aggregated count, never the
+    members themselves. The cap/report decisions read THIS, so an oversized
+    bucket is never materialized anywhere."""
     return keyed.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+
+
+def _bucketed(keyed: DataFrame, payload_cols: list[str],
+              max_bucket: int) -> DataFrame:
+    """Two-phase bucket build: census → prune singletons AND oversized
+    buckets → collect_list only over the survivors.
+
+    A single-phase `collect_list + filter(size <= cap)` would materialize a
+    10^8-member boilerplate bucket in one reducer BEFORE discarding it —
+    the exact OOM the cap exists to prevent. The census pass is keys-only
+    and the prune join is co-partitioned with the collect shuffle (same
+    keys), so the extra exchange carries only (band_idx, band_hash)."""
+    ok = (
+        _bucket_sizes(keyed)
+        .filter(
+            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket)
+        )
+        .select("band_idx", "band_hash")
+    )
+    return keyed.join(ok, ["band_idx", "band_hash"]).groupBy(
+        "band_idx", "band_hash"
+    ).agg(
         F.sort_array(
             F.collect_list(F.struct("doc", *payload_cols))
         ).alias("members")
@@ -77,7 +104,8 @@ def _bucketed(keyed: DataFrame, payload_cols: list[str]) -> DataFrame:
 
 def _pairs_from_buckets(buckets: DataFrame, max_bucket: int,
                         a_cols: dict, b_cols: dict) -> DataFrame:
-    """Within-bucket pair expansion, capped at max_bucket members."""
+    """Within-bucket pair expansion (buckets arrive pre-pruned to
+    2..max_bucket members; the filter is a cheap defensive recheck)."""
     usable = buckets.filter(
         (F.size("members") > 1) & (F.size("members") <= max_bucket)
     )
@@ -99,17 +127,19 @@ def _pairs_from_buckets(buckets: DataFrame, max_bucket: int,
     )
 
 
-def lsh_bucket_report(buckets: DataFrame, max_bucket: int) -> DataFrame:
+def lsh_bucket_report(keyed: DataFrame, max_bucket: int) -> DataFrame:
     """Bucket-size statistics for an LSH run — makes the max_bucket
     truncation visible instead of silent (VERDICT r1 #5). One row:
-    (n_buckets, n_multi, n_capped, largest_bucket, docs_in_capped)."""
-    return buckets.agg(
+    (n_buckets, n_multi, n_capped, largest_bucket, docs_in_capped).
+    Computed from the keys-only census, so even reporting on a pathological
+    corpus never materializes a bucket's members."""
+    return _bucket_sizes(keyed).agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum((F.size("members") > 1).cast("bigint")).alias("n_multi"),
-        F.sum((F.size("members") > max_bucket).cast("bigint")).alias("n_capped"),
-        F.max(F.size("members")).alias("largest_bucket"),
+        F.sum((F.col("bucket_size") > 1).cast("bigint")).alias("n_multi"),
+        F.sum((F.col("bucket_size") > max_bucket).cast("bigint")).alias("n_capped"),
+        F.max("bucket_size").cast("int").alias("largest_bucket"),
         F.sum(
-            F.when(F.size("members") > max_bucket, F.size("members")).otherwise(0)
+            F.when(F.col("bucket_size") > max_bucket, F.col("bucket_size")).otherwise(0)
         ).cast("bigint").alias("docs_in_capped"),
     ).withColumn("max_bucket", F.lit(max_bucket))
 
@@ -151,7 +181,7 @@ def minhash_candidate_pairs(
     (dq_rules_library.py:318-321) generalized to near-duplicates.
     """
     banded = _minhash_banded(df, id_col, text_col, bands, n_perms)
-    buckets = _bucketed(banded, ["minhash"])
+    buckets = _bucketed(banded, ["minhash"], max_bucket)
     pairs = _pairs_from_buckets(
         buckets, max_bucket,
         {"minhash": "mh_a"}, {"minhash": "mh_b"},
@@ -178,7 +208,7 @@ def minhash_bucket_report(
     max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     banded = _minhash_banded(df, id_col, text_col, bands, n_perms)
-    return lsh_bucket_report(_bucketed(banded, ["minhash"]), max_bucket)
+    return lsh_bucket_report(banded, max_bucket)
 
 
 # ------------------------------------------------------------- SimHash -----
@@ -256,7 +286,7 @@ def simhash_near_pairs(
     sh = with_simhash(df.select(id_col, text_col), text_col).select(
         F.col(id_col).alias("doc"), "simhash"
     )
-    buckets = _bucketed(_simhash_chunked(sh), ["simhash"])
+    buckets = _bucketed(_simhash_chunked(sh), ["simhash"], max_bucket)
     cand = _pairs_from_buckets(
         buckets, max_bucket,
         {"simhash": "sh_a"}, {"simhash": "sh_b"},
@@ -278,7 +308,7 @@ def simhash_bucket_report(
     sh = with_simhash(df.select(id_col, text_col), text_col).select(
         F.col(id_col).alias("doc"), "simhash"
     )
-    return lsh_bucket_report(_bucketed(_simhash_chunked(sh), ["simhash"]), max_bucket)
+    return lsh_bucket_report(_simhash_chunked(sh), max_bucket)
 
 
 # ----------------------------------------- near-dup cluster formation ------
