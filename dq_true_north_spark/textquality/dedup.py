@@ -380,20 +380,27 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
 
 
 def keep_representatives(df: DataFrame, pairs: DataFrame,
-                         id_col: str = "url") -> DataFrame:
+                         id_col: str = "url",
+                         broadcast_losers: bool = True) -> DataFrame:
     """Drop every near-duplicate except its cluster representative (the
-    min-id member). Docs in no pair are kept. The cluster map is tiny
-    relative to the corpus (only docs that appeared in a candidate pair),
-    so the join-back broadcasts — same shape as the exact-dedup loser
-    join."""
+    min-id member). Docs in no pair are kept.
+
+    broadcast_losers=True joins the loser set back as a broadcast — right
+    when the near-dup fraction is the usual few percent. On mirror-heavy
+    corpora the loser set is proportional to the corpus and the broadcast
+    OOMs (the round-1 exact-dedup lesson): pass False for a keys-only
+    sort-merge anti-join instead. Same adaptive rule as the pipeline's
+    exact dedup — sketch the dup fraction first if unknown."""
     losers = (
         near_dup_clusters(pairs)
         .filter(F.col("doc") != F.col("cluster_id"))
         .select(F.col("doc").alias(id_col))
-        .withColumn("_near_dup", F.lit(1))
     )
-    return (
-        df.join(F.broadcast(losers), [id_col], "left")
-        .filter(F.col("_near_dup").isNull())
-        .drop("_near_dup")
-    )
+    if broadcast_losers:
+        losers = F.broadcast(losers.withColumn("_near_dup", F.lit(1)))
+        return (
+            df.join(losers, [id_col], "left")
+            .filter(F.col("_near_dup").isNull())
+            .drop("_near_dup")
+        )
+    return df.join(losers, [id_col], "left_anti")

@@ -334,3 +334,17 @@ def test_near_dup_clusters_matches_union_find_reference(spark):
         got = {r["doc"]: r["cluster_id"]
                for r in near_dup_clusters(pairs, max_iters=15).collect()}
         assert got == expected, f"seed {seed}"
+
+
+def test_keep_representatives_join_strategies_agree(spark):
+    from dq_true_north_spark.textquality.dedup import keep_representatives
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    docs = spark.createDataFrame(
+        [(u, u) for u in "abcxyz"], "url string, text string"
+    )
+    kb = {r["url"] for r in keep_representatives(docs, pairs, broadcast_losers=True).collect()}
+    ka = {r["url"] for r in keep_representatives(docs, pairs, broadcast_losers=False).collect()}
+    assert kb == ka == {"a", "x", "z"}
