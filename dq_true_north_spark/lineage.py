@@ -126,13 +126,18 @@ def run_quality_pipeline(
     pages: DataFrame,
     base_path: str,
     run_id: str,
+    dedup_strategy: str = "auto",
 ) -> dict[str, DataFrame]:
-    """Full resumable run: verdicts -> lineage -> summary."""
+    """Full resumable run: verdicts -> lineage -> summary.
+
+    dedup_strategy passes through to compute_verdicts; force 'shuffle' for
+    inputs that cannot guarantee unique (url, warc_ts) rows — the broadcast
+    path's precondition (textquality/pipeline.py)."""
     from .textquality.pipeline import compute_verdicts, verdict_summary
 
     runner = PipelineRunner(spark, base_path, run_id)
     verdicts = runner.stage(
-        "verdicts", lambda: compute_verdicts(pages)
+        "verdicts", lambda: compute_verdicts(pages, dedup_strategy=dedup_strategy)
     )
     lineage = runner.stage(
         "lineage", lambda: lineage_of(verdicts, run_id, "verdicts")

@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--partitions", type=int, default=0,
                     help="explicit url hash partitions (0 = 4x parallelism)")
+    ap.add_argument("--dedup-strategy", default="auto",
+                    choices=("auto", "broadcast", "shuffle"),
+                    help="exact-dedup plan; force 'shuffle' when the input "
+                         "cannot guarantee unique (url, warc_ts) rows")
     args = ap.parse_args()
 
     # under spark-submit the session comes from the launcher's conf;
@@ -62,7 +66,8 @@ def main() -> None:
     n_part = args.partitions or spark.sparkContext.defaultParallelism * 4
     pages = repartition_by_url(pages, n_part)
 
-    out = run_quality_pipeline(spark, pages, args.output, args.run_id)
+    out = run_quality_pipeline(spark, pages, args.output, args.run_id,
+                               dedup_strategy=args.dedup_strategy)
     summary = out["summary"].first().asDict()
     kept, total = summary["kept_docs"], summary["total_docs"]
     print(f"run_id={args.run_id} docs={total} kept={kept} "
