@@ -147,3 +147,70 @@ def decode_media_meta(pages: DataFrame, binary_col: str = "html") -> DataFrame:
     return pages.select("url", binary_col).mapInPandas(
         run, schema=MEDIA_META_SCHEMA
     )
+
+
+MEDIA_TRANSFORM_SCHEMA = (
+    "url string, out_bytes binary, out_byte_len long, op string, "
+    "status string, error string"
+)
+
+_SUPPORTED_OPS = ("resize", "frame_sample", "passthrough")
+
+
+def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
+    """Per-item media transform. The Spark-side contract (binary in →
+    binary out, per-row error isolation into `status`/`error`) is real;
+    the pixel work needs codecs this container lacks, so everything except
+    `passthrough` raises NotImplementedError — which the plumbing catches
+    per row instead of failing the task. Swap this function for a
+    PIL/ffmpeg implementation on a cluster with codecs; nothing else
+    changes."""
+    try:
+        if op == "passthrough":
+            out = blob
+        elif op == "resize":
+            raise NotImplementedError(
+                f"resize to {params.get('width')}x{params.get('height')} "
+                f"requires an image codec (none in this container)"
+            )
+        elif op == "frame_sample":
+            raise NotImplementedError(
+                f"sampling {params.get('n_frames', 4)} frames requires a "
+                f"video codec (none in this container)"
+            )
+        else:
+            raise ValueError(f"unknown media op {op!r}")
+        return (url, out, len(out), op, "ok", None)
+    except NotImplementedError as exc:
+        return (url, None, None, op, "unsupported", str(exc))
+    except Exception as exc:  # a real decoder's per-item failures land here
+        return (url, None, None, op, "error", f"{type(exc).__name__}: {exc}")
+
+
+def transform_media(pages: DataFrame, binary_col: str = "html",
+                    op: str = "resize", **params) -> DataFrame:
+    """mapInPandas media transform — Arrow batches of (url, binary) in,
+    (url, binary, status) out. Batch shape and schema are the production
+    contract; per-row failures become status='unsupported'/'error' rows,
+    never task failures (a 10^12-item run cannot die on one corrupt GIF)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if op not in _SUPPORTED_OPS:
+        raise ValueError(f"op must be one of {_SUPPORTED_OPS}, got {op!r}")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            rows = [
+                _transform_one(u, bytes(blob), op, params)
+                for u, blob in zip(b["url"], b[binary_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "out_bytes", "out_byte_len", "op",
+                         "status", "error"],
+            )
+
+    return pages.select("url", binary_col).mapInPandas(
+        run, schema=MEDIA_TRANSFORM_SCHEMA
+    )

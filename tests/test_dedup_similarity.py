@@ -348,3 +348,32 @@ def test_keep_representatives_join_strategies_agree(spark):
     kb = {r["url"] for r in keep_representatives(docs, pairs, broadcast_losers=True).collect()}
     ka = {r["url"] for r in keep_representatives(docs, pairs, broadcast_losers=False).collect()}
     assert kb == ka == {"a", "x", "z"}
+
+
+def test_media_transform_plumbing_isolates_unsupported(spark):
+    """transform_media: binary-in/binary-out contract is real; codec-less
+    ops degrade to per-row status='unsupported', never task failures;
+    passthrough round-trips bytes exactly."""
+    from dq_true_north_spark.textquality.multimodal import transform_media
+
+    pages = pages_df(spark, 50, partitions=4)
+    out = transform_media(pages, "html", op="resize", width=64, height=64).collect()
+    assert len(out) == 50
+    for r in out[:10]:
+        assert r["status"] == "unsupported"
+        assert "codec" in r["error"]
+        assert r["out_bytes"] is None
+
+    thru = transform_media(pages, "html", op="passthrough").collect()
+    # class 13 reuses a url → compare against the SET of blobs per url
+    orig: dict[str, set[bytes]] = {}
+    for r in pages.select("url", "html").collect():
+        orig.setdefault(r["url"], set()).add(bytes(r["html"]))
+    for r in thru:
+        assert r["status"] == "ok"
+        assert bytes(r["out_bytes"]) in orig[r["url"]]
+        assert r["out_byte_len"] == len(bytes(r["out_bytes"]))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        transform_media(pages, "html", op="rotate")
