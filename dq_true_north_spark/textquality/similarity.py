@@ -250,9 +250,12 @@ def ann_ivf_topk(
     )
     index = _assign_cells(vecs, centroids)          # the inverted file
 
-    # per query: its n_probe nearest cells
-    qvecs = vecs.filter(
-        query_filter.replace(id_col, "vid") if id_col != "vid" else query_filter
+    # per query: its n_probe nearest cells. The filter is applied against
+    # the ORIGINAL column names (never rewritten by string surgery), then
+    # the id is aliased for the internal frames.
+    qvecs = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     qscored = qvecs.crossJoin(F.broadcast(centroids)).withColumn(
         "sim", _dot("v", "c") / (_norm("v") * _norm("c"))
