@@ -44,7 +44,10 @@ def stream_verdicts(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = compute_verdicts(batch_df).withColumn(
+        # force the shuffle dedup plan: 'auto' would re-run its sketch
+        # pre-pass on EVERY micro-batch, and micro-batches are bounded by
+        # maxFilesPerTrigger anyway — broadcast sizing is a non-issue here
+        out = compute_verdicts(batch_df, dedup_strategy="shuffle").withColumn(
             "batch_id", F.lit(batch_id)
         )
         out.write.mode("append").parquet(output_dir)
