@@ -55,10 +55,16 @@ DISPATCH = {
 }
 
 
+def _params_of(rule: dict) -> dict:
+    """Parse the rule's PARAMETERS JSON; malformed strings must surface as
+    that rule's ERROR row, never abort the run (dq_engine.py:125-138)."""
+    return json.loads(rule.get("parameters") or "{}")
+
+
 def _run_one(spark: SparkSession, rule: dict, sink) -> tuple:
     key = (rule["rule_type"], rule["logic_implementation"])
-    params = json.loads(rule.get("parameters") or "{}")
     try:
+        params = _params_of(rule)  # inside isolation: bad JSON → ERROR row
         executor = DISPATCH.get(key)
         if executor is None:
             if rule["logic_implementation"] == "SQL_QUERY":
@@ -116,11 +122,14 @@ def run_catalog(
     # the reference's domain), which fit MEMORY_AND_DISK comfortably. The
     # web corpus itself never flows through run_catalog and is never cached
     # — the quality-filter pipeline is a separate one-scan path.
+    def _source_of(rule: dict) -> str | None:
+        try:
+            return _params_of(rule).get("source_table")
+        except Exception:
+            return None  # the owning rule reports the parse ERROR itself
+
     cached: list[str] = []
-    sources = dict.fromkeys(
-        json.loads(r.get("parameters") or "{}").get("source_table")
-        for r in active
-    )
+    sources = dict.fromkeys(_source_of(r) for r in active)
     for tbl in sources:
         if not tbl:
             continue

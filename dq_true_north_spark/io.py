@@ -35,6 +35,10 @@ class ResultSink:
         os.makedirs(base_path, exist_ok=True)
         self._locks: dict[str, threading.Lock] = {}
         self._locks_guard = threading.Lock()
+        # tables whose on-disk schema this process has already verified
+        # against a given column layout — one footer probe per table per
+        # layout instead of one per append
+        self._verified: dict[str, dict[str, str]] = {}
 
     def path(self, table: str) -> str:
         return os.path.join(self.base_path, table)
@@ -67,9 +71,14 @@ class ResultSink:
 
     def append(self, df: DataFrame, table: str) -> None:
         out = df.withColumn("execution_timestamp", F.current_timestamp())
+        incoming = self._schema_types(out.schema)
         with self._lock(table):
-            mode = self._heal_mode(df.sparkSession, table, out)
+            if self._verified.get(table) == incoming:
+                mode = "append"      # probe already paid for this layout
+            else:
+                mode = self._heal_mode(df.sparkSession, table, out)
             out.write.mode(mode).parquet(self.path(table))
+            self._verified[table] = incoming
 
     def ensure(self, spark: SparkSession, table: str, schema_ddl: str) -> None:
         """Bootstrap: create the table with the declared schema when missing
@@ -81,6 +90,7 @@ class ResultSink:
                     "execution_timestamp", F.current_timestamp()
                 )
                 empty.write.mode("overwrite").parquet(self.path(table))
+                self._verified[table] = self._schema_types(empty.schema)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))

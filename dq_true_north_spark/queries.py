@@ -602,14 +602,10 @@ def q_top_bigram_fraction(d: str) -> str:
     frequent word 2-gram. Explode/unnest → per-(doc, gram) count → max per
     doc — two partial-aggregated shuffles, no O(L²) per-row work."""
     w = spec.words(d, "lower(text)")
+    grams = spec.word_ngrams(d, w, 2)
     if d == SPARK:
-        grams = (f"transform(sequence(1, greatest(size({w}) - 1, 0)), "
-                 f"i -> concat_ws(' ', slice({w}, i, 2)))")
-        un = f"LATERAL VIEW explode({grams}) g AS gram"
-        from_clause = f"FROM documents {un}"
+        from_clause = f"FROM documents LATERAL VIEW explode({grams}) g AS gram"
     else:
-        grams = (f"list_transform(generate_series(1, greatest(len({w}) - 1, 0)), "
-                 f"i -> array_to_string(list_slice({w}, i, i + 1), ' '))")
         from_clause = f"FROM documents, unnest({grams}) AS t(gram)"
     return f"""
 WITH exploded AS (
@@ -794,14 +790,13 @@ def q_ngram_jaccard(d: str) -> str:
     pair space (at corpus scale the blocking key is the LSH band instead —
     see textquality/dedup.py)."""
     w = spec.words(d, "lower(text)")
+    grams = spec.word_ngrams(d, w, 3)
     if d == SPARK:
-        sh = (f"array_distinct(transform(sequence(1, greatest(size({w}) - 2, 0)), "
-              f"i -> concat_ws(' ', slice({w}, i, 3))))")
+        sh = f"array_distinct({grams})"
         inter = "size(array_intersect(a.sh, b.sh))"
         sz = "size"
     else:
-        sh = (f"list_distinct(list_transform(generate_series(1, greatest(len({w}) - 2, 0)), "
-              f"i -> array_to_string(list_slice({w}, i, i + 2), ' ')))")
+        sh = f"list_distinct({grams})"
         inter = "len(list_intersect(a.sh, b.sh))"
         sz = "len"
     return f"""
@@ -895,15 +890,10 @@ def q_benchmark_contamination(d: str) -> str:
     build side of the gram equijoin; the corpus explodes grams map-side and
     never self-joins."""
     w = spec.words(d, "lower(text)")
-    n = 3
+    grams = spec.word_ngrams(d, w, 3)
     if d == SPARK:
-        grams = (f"transform(sequence(1, greatest(size({w}) - {n - 1}, 0)), "
-                 f"i -> concat_ws(' ', slice({w}, i, {n})))")
-        un = f"LATERAL VIEW explode({grams}) t AS gram"
-        from_c = f"FROM documents {un}"
+        from_c = f"FROM documents LATERAL VIEW explode({grams}) t AS gram"
     else:
-        grams = (f"list_transform(generate_series(1, greatest(len({w}) - {n - 1}, 0)), "
-                 f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' '))")
         from_c = f"FROM documents, unnest({grams}) AS t(gram)"
     return f"""
 WITH bench AS (

@@ -81,7 +81,9 @@ def stream_host_rates(
         spark.readStream.schema(PAGES_SCHEMA)
         .parquet(input_dir)
         .withColumn(
-            "host", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+            # no trailing-slash requirement: 'https://h.io' and
+            # 'https://h.io?x=1' must group under h.io, not under ''
+            "host", F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
         )
     )
     rates = (

@@ -41,15 +41,15 @@ DEFAULT_MAX_BUCKET = 64
 
 
 def shingle_col(text_col: str, k: int = C.MINHASH_SHINGLE_WORDS):
-    """Distinct word k-shingles as an array column (JVM expressions only)."""
-    return F.array_distinct(
-        F.expr(
-            f"""transform(
-                sequence(1, greatest(size(filter(split(lower({text_col}), '\\\\s+'), w -> w <> '')) - {k - 1}, 0)),
-                i -> concat_ws(' ', slice(filter(split(lower({text_col}), '\\\\s+'), w -> w <> ''), i, {k}))
-            )"""
-        )
-    )
+    """Distinct word k-shingles as an array column (JVM expressions only).
+    Short documents (< k words) yield an EMPTY array — the guarded
+    spec.word_ngrams construction; Spark's sequence(1, 0) is the
+    DESCENDING [1, 0] and slice(arr, 0, k) throws, so the unguarded form
+    crashed the whole job on any real crawl's empty/near-empty page."""
+    from .spec import SPARK, word_ngrams
+
+    words = f"filter(split(lower({text_col}), '\\\\s+'), w -> w <> '')"
+    return F.array_distinct(F.expr(word_ngrams(SPARK, words, k)))
 
 
 def with_minhash(df: DataFrame, text_col: str = "text",
@@ -230,17 +230,39 @@ def _simhash_from_word_hashes(hash_arrays: pd.Series) -> pd.Series:
         count=len(hash_arrays),
     )
     out = np.zeros(len(hash_arrays), dtype=np.uint64)
-    nonempty = lens > 0
-    if nonempty.any():
-        flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in hash_arrays if a is not None and len(a)]
-        ).view(np.uint64)
-        shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+
+    # Slab the fold: the ±1 bit matrix costs 512 bytes per word hash, so an
+    # unbounded whole-batch flatten is GBs of transient on wordy corpora.
+    # Documents never straddle a slab, so results stay bit-identical at any
+    # slab size; each slab tops out around (budget x 64) int64 ≈ 128 MB.
+    slab_budget = 1 << 18
+    slab_rows: list[int] = []
+    slab_arrays: list[np.ndarray] = []
+    slab_words = 0
+
+    def _flush():
+        nonlocal slab_rows, slab_arrays, slab_words
+        if not slab_rows:
+            return
+        flat = np.concatenate(slab_arrays).view(np.uint64)
         pm = (((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
-        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        slab_lens = lens[slab_rows]
+        starts = np.concatenate(([0], np.cumsum(slab_lens)[:-1]))
         sums = np.add.reduceat(pm, starts, axis=0)
         bits = (sums > 0).astype(np.uint64)
-        out[nonempty] = (bits << shifts).sum(axis=1, dtype=np.uint64)
+        out[slab_rows] = (bits << shifts).sum(axis=1, dtype=np.uint64)
+        slab_rows, slab_arrays, slab_words = [], [], 0
+
+    for row, a in enumerate(hash_arrays):
+        if a is None or not len(a):
+            continue
+        if slab_words and slab_words + len(a) > slab_budget:
+            _flush()
+        slab_rows.append(row)
+        slab_arrays.append(np.asarray(a, dtype=np.int64))
+        slab_words += len(a)
+    _flush()
     return pd.Series(out.view(np.int64), dtype="int64")
 
 
@@ -397,10 +419,5 @@ def keep_representatives(df: DataFrame, pairs: DataFrame,
         .select(F.col("doc").alias(id_col))
     )
     if broadcast_losers:
-        losers = F.broadcast(losers.withColumn("_near_dup", F.lit(1)))
-        return (
-            df.join(losers, [id_col], "left")
-            .filter(F.col("_near_dup").isNull())
-            .drop("_near_dup")
-        )
+        losers = F.broadcast(losers)
     return df.join(losers, [id_col], "left_anti")

@@ -102,6 +102,25 @@ def round4(expr: str, n: int = 4) -> str:
     return f"(floor(({expr}) * 1e{n} + 0.5) / 1e{n})"
 
 
+def word_ngrams(d: str, words_expr: str, n: int) -> str:
+    """Word n-gram array, SAFE for documents with fewer than n words.
+
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0] (not an empty array),
+    and slice(arr, 0, n) then throws INVALID_PARAMETER_VALUE.START — so the
+    unguarded `sequence(1, greatest(len-n+1, 0))` construction crashes the
+    whole job on any 0..n-1-word document (real crawls always contain
+    some). DuckDB's generate_series(1, 0) is empty, hiding the divergence.
+    Guard with CASE in BOTH dialects so the renderings stay symmetric."""
+    if d == SPARK:
+        gen = (f"transform(sequence(1, size({words_expr}) - {n - 1}), "
+               f"i -> concat_ws(' ', slice({words_expr}, i, {n})))")
+        return (f"CASE WHEN size({words_expr}) >= {n} THEN {gen} "
+                f"ELSE array() END")
+    gen = (f"list_transform(generate_series(1, len({words_expr}) - {n - 1}), "
+           f"i -> array_to_string(list_slice({words_expr}, i, i + {n - 1}), ' '))")
+    return f"CASE WHEN len({words_expr}) >= {n} THEN {gen} ELSE [] END"
+
+
 # --------------------------------------------------------------- metrics ---
 # Each metric is a function (dialect, text_expr) -> SQL expression string.
 

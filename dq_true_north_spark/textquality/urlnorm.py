@@ -10,7 +10,8 @@ per dialect: Spark `$1`, DuckDB `\\1`):
   4. strip tracking params (utm_*, fbclid, gclid, mc_eid) wherever they
      sit in the query string, then tidy the separators they leave behind
      (`?&` → `?`, dangling `?`/`&`);
-  5. drop a single trailing slash on a non-root path.
+  5. drop a single trailing slash — including the root-path slash: the
+     bare authority (`https://h.io`) is the canonical form.
 
 Same chain, three executions: Spark SQL (codegen regexp_replace), DuckDB
 (the oracle), Python `re` (the test reference) — the scrub.py discipline

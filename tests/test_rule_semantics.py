@@ -144,3 +144,43 @@ def test_historical_zero_expected_is_pass(spark, expected_zero_rows):
     row = run_catalog(spark, [rule], write_summary=False).first()
     # expected = 0 - 0 + 5 = 5, actual = 5 → deviation 0 → PASS
     assert row["indicator"] == C.PASS, row
+
+
+def test_no_native_round_in_any_rendered_sql():
+    """The unified floor-rounding invariant: no rendered SQL — either
+    dialect — may contain a native round() call (engines disagree at
+    half-boundaries; CLAUDE.md invariant)."""
+    import re
+
+    from dq_true_north_spark.queries import registry
+
+    pat = re.compile(r"(?<![A-Za-z0-9_])round\s*\(", re.IGNORECASE)
+    for name, q in registry().items():
+        oracle = q.get("oracle")
+        if oracle:
+            assert not pat.search(oracle), f"{name}: native round() in oracle SQL"
+
+
+def test_malformed_parameters_json_is_isolated(spark):
+    """A rule with broken PARAMETERS JSON yields ITS error row; the rest of
+    the catalog still runs (dq_engine.py:125-138) — including the
+    source-caching pre-pass, which must not parse outside isolation."""
+    from dq_true_north_spark.catalog import DEFAULT_CATALOG
+
+    bad = {
+        "rule_id": 98, "rule_name": "bad_json", "rule_type": "SPIKE_DIP",
+        "logic_implementation": "SNOWPARK_FUNC",
+        "logic_definition": "", "parameters": "{not json",
+        "segment_value": "", "is_active": True,
+    }
+    from dq_true_north_spark.session import load_tables
+    from tests.conftest import SF_DIR, TABLES
+
+    load_tables(spark, SF_DIR, TABLES)
+    summary = run_catalog(spark, [bad, dict(DEFAULT_CATALOG[2])],
+                          write_summary=False)
+    rows = {r["rule_name"]: r for r in summary.collect()}
+    assert rows["bad_json"]["indicator"] == C.ERROR
+    assert "JSON" in rows["bad_json"]["error_message"] or \
+           "Expecting" in rows["bad_json"]["error_message"]
+    assert rows["customer_acctbal_negative"]["indicator"] in (C.PASS, C.FAIL)

@@ -132,3 +132,21 @@ def test_stream_stateful_dedup_across_batches(spark, tmp_path):
     assert first["https://h/e"] == 1
     keepers = [r for r in rows if r["is_first"] == 1]
     assert len(keepers) == 3              # one per distinct text, total
+
+
+def test_stream_host_rates_slashless_urls_group_correctly(spark, tmp_path):
+    """URLs without a path slash must group under their real host, not ''."""
+    from dq_true_north_spark.streaming import stream_host_rates
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in3", "out3", "ckpt3"))
+    _write_rows(spark, _page_rows([
+        ("https://bare.example.org", "2024-01-01 10:01:00", "a"),
+        ("https://bare.example.org?x=1", "2024-01-01 10:02:00", "b"),
+        ("https://bare.example.org/p", "2024-01-01 10:03:00", "c"),
+        ("https://other.example.org/q", "2024-01-01 10:31:00", "d"),  # advances watermark
+    ]), inp)
+    q = stream_host_rates(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    rows = {(r["host"], r["n_pages"]) for r in spark.read.parquet(out).collect()}
+    assert ("bare.example.org", 3) in rows
+    assert not any(h == "" for h, _ in rows)
