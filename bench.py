@@ -44,13 +44,15 @@ HEADLINE_QUERIES = (
 
 
 def materialize(df) -> int:
-    """Force full computation of every column (count alone would let
-    Catalyst prune the expensive ones)."""
+    """Force full computation of EVERY column — summing string lengths of
+    each field means Catalyst can't prune any of them (count alone, or a
+    prefix of the schema, would let it drop e.g. the regexp-scrub chain
+    out of the timed plan — the round-2 headline did exactly that)."""
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum(F.length(F.col(c.name).cast("string"))).alias(f"_{c.name}")
-            for c in df.schema.fields[:6]
+            for c in df.schema.fields
         ],
     ).first()
     return row["n"]

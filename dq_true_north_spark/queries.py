@@ -38,7 +38,13 @@ def sql_query(name: str):
             load_tables(spark, sf_dir, TABLES)
             return spark.sql(template(SPARK))
 
-        _REGISTRY[name] = {"spark": spark_fn, "oracle": template(DUCK)}
+        _REGISTRY[name] = {
+            "spark": spark_fn,
+            "oracle": template(DUCK),
+            # dialect-parameterized source template — lets guards (e.g. the
+            # no-native-round test) render and scan BOTH dialects
+            "template": template,
+        }
         return template
 
     return deco
@@ -755,26 +761,35 @@ def q_cosine_topk(d: str) -> str:
     """Brute-force cosine top-k over the embeddings table for a probe set
     (vec_id % 100 = 0). Spark: broadcast probe side + JVM higher-order
     functions (zip_with/aggregate); the corpus is scanned once. Ties broken
-    by neighbor_id for cross-engine determinism."""
+    by neighbor_id for cross-engine determinism.
+
+    Scale discipline (VERDICT r2 #3): each side's norm is computed ONCE per
+    vector in its CTE projection, never inside the joined frame — a per-pair
+    norm is Q× redundant aggregates per corpus row (the shape
+    embedding_near_dup_pairs pioneered)."""
     if d == SPARK:
-        dot = ("aggregate(zip_with(qe, e.embedding, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), "
+        dot = ("aggregate(zip_with(q.qe, e.ne, (x,y) -> x*y), "
                "CAST(0.0 AS DOUBLE), (a,v)->a+v)")
-        nq = ("sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), "
-              "CAST(0.0 AS DOUBLE), (a,v)->a+v))")
-        nn = ("sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), "
-              "CAST(0.0 AS DOUBLE), (a,v)->a+v))")
-        qsel = "SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0"
+        nrm = ("sqrt(aggregate(transform(embedding, "
+               "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), "
+               "CAST(0.0 AS DOUBLE), (a,v)->a+v))")
+        emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
     else:
-        dot = "list_dot_product(qe, CAST(e.embedding AS DOUBLE[]))"
-        nq = "sqrt(list_dot_product(qe, qe))"
-        nn = "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
-        qsel = "SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id % 100 = 0"
+        dot = "list_dot_product(q.qe, e.ne)"
+        nrm = ("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+               "CAST(embedding AS DOUBLE[])))")
+        emb = "CAST(embedding AS DOUBLE[])"
     return f"""
-WITH q AS ({qsel}),
+WITH q AS (
+  SELECT vec_id AS qid, {emb} AS qe, {nrm} AS qn
+  FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id, {emb} AS ne, {nrm} AS nn FROM embeddings
+),
 scored AS (
   SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-         {dot} / ({nq} * {nn}) AS sim
-  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+         {dot} / (q.qn * e.nn) AS sim
+  FROM q JOIN c e ON e.vec_id <> q.qid
 ), ranked AS (
   SELECT query_id, neighbor_id, sim,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -853,6 +868,11 @@ _URL_CASES = [
     "https://host.org:443/b?gclid=abc",
     "https://h.io/p?a=1&utm_medium=m&b=2",
     "https://h.io/p?utm_a=1&utm_b=2",
+    # 3+ adjacent stripped params — the single-pass '&&' residue cases
+    # (round-2 ADVICE #1): leading, trailing, and mid-string runs
+    "https://h.io/p?utm_a=1&utm_b=2&utm_c=3&x=1",
+    "https://h.io/p?id=5&utm_source=s&utm_medium=m&utm_campaign=c",
+    "https://h.io/p?a=1&utm_a=x&utm_b=y&utm_c=z&b=2",
     "http://plain.example.net/keep?x=1&y=2",
     "https://UPPER.example.net:8443/Case/Kept?fbclid=zzz&ok=1",
     "https://h.io/",

@@ -61,14 +61,19 @@ def execute_historical_completeness_check(spark: SparkSession, rule: dict, param
         .withColumn("deviation", F.col("actual_count") - F.col("expected_count"))
         .withColumn(
             "deviation_percentage",
-            F.round(
+            # floor-based round4 (spec.round4): native round() is banned in
+            # anything a cross-engine consumer might compare (CLAUDE.md
+            # invariant; round-2 ADVICE #3)
+            F.floor(
                 F.when(F.col("expected_count") == 0, F.lit(0.0))  # :1063-1067
                 .otherwise(
                     F.abs(F.col("deviation").cast("double"))
                     / F.col("expected_count")
-                ),
-                4,
-            ),                                                    # :1054-1060
+                )
+                * 1e4
+                + 0.5
+            )
+            / 1e4,                                                # :1054-1060
         )
         .withColumn(
             "status",

@@ -19,9 +19,16 @@ def execute_negative_value_check(spark: SparkSession, rule: dict, params: dict, 
     src = params["source_table"]
     num_cols = params["numeric_columns"]
     id_cols = params.get("id_columns") or [params["id_column"]]
-    ts_col = params.get("timestamp_column")
+    # reference default (dq_rules_library.py:655). An EXPLICIT missing
+    # column errors like the reference; the default silently degrades to a
+    # NULL timestamp when the source has no created_date (catalogs migrated
+    # from the reference otherwise break on every date-less table).
+    ts_col = params.get("timestamp_column", "CREATED_DATE")
+    explicit_ts = "timestamp_column" in params
 
     df = spark.table(src)
+    if not explicit_ts and ts_col.lower() not in {c.lower() for c in df.columns}:
+        ts_col = None
     # composite record id via concat_ws (reference :667-668)
     rid = (
         F.col(id_cols[0]).cast("string")
@@ -47,7 +54,10 @@ def execute_negative_value_check(spark: SparkSession, rule: dict, params: dict, 
             sink.append(
                 negatives.select(
                     "record_id", "record_timestamp", "field_name",
-                    F.round("negative_value", 4).alias("negative_value"),
+                    # floor-based round4 — native round() is banned anywhere
+                    # a cross-engine consumer might compare (CLAUDE.md)
+                    (F.floor(F.col("negative_value") * 1e4 + 0.5) / 1e4)
+                    .alias("negative_value"),
                     F.lit(rule["rule_id"]).alias("rule_id"),
                     F.lit(rule["rule_name"]).alias("rule_name"),
                 ),

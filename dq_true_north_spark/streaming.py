@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .corpus import PAGES_SCHEMA
+from .partitioning import host_of
 from .textquality.pipeline import compute_verdicts
 
 
@@ -81,9 +82,10 @@ def stream_host_rates(
         spark.readStream.schema(PAGES_SCHEMA)
         .parquet(input_dir)
         .withColumn(
-            # no trailing-slash requirement: 'https://h.io' and
-            # 'https://h.io?x=1' must group under h.io, not under ''
-            "host", F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+            # shared extractor (partitioning.host_of): no trailing-slash
+            # requirement — 'https://h.io' and 'https://h.io?x=1' group
+            # under h.io, not under ''
+            "host", host_of("url")
         )
     )
     rates = (

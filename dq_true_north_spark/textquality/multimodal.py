@@ -98,16 +98,63 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int] | None:
 _HEADER_PARSERS = {"png": _png_dims, "gif": _gif_dims, "jpeg": _jpeg_dims}
 
 
-def _decode_frames(fmt: str, blob: bytes):
-    """Frame decode — genuinely codec-dependent, unavailable here.
+def _gif_frame_offsets(blob: bytes) -> list[int] | None:
+    """Byte offsets of every image-descriptor block (0x2C) — a GIF frame
+    count WITHOUT a codec, by walking the block structure (GIF89a §§18-20:
+    header + logical screen descriptor, optional global color table, then
+    extensions (0x21, length-prefixed sub-blocks) and image descriptors
+    (9-byte header + optional local color table + LZW sub-blocks) until the
+    0x3B trailer). A raw byte scan for 0x2C would overcount — the byte is
+    legal inside color tables and compressed data; the walk is exact.
+    Returns None (honest unknown, decoder='unsupported') on a malformed or
+    truncated stream, never a guess."""
+    n = len(blob)
+    if n < 13:
+        return None
+    i = 13
+    packed = blob[10]
+    if packed & 0x80:                   # global color table (§18)
+        i += 3 * (2 << (packed & 0x07))
+    offsets: list[int] = []
 
-    A real deployment replaces this with PIL/ffmpeg; the contract is
-    (n_frames, sample_frame_offsets) or None when no codec can handle fmt.
-    Still-image formats are single-frame by definition, so that much is
-    real metadata; animated/video formats need the codec."""
+    def _skip_subblocks(j: int) -> int:
+        while j < n and blob[j] != 0:
+            j += 1 + blob[j]
+        return j + 1                    # past the 0x00 terminator
+
+    while i < n:
+        b = blob[i]
+        if b == 0x3B:                   # trailer: clean end of stream
+            return offsets or None
+        if b == 0x21:                   # extension: label + sub-blocks
+            i = _skip_subblocks(i + 2)
+        elif b == 0x2C:                 # image descriptor (§20)
+            offsets.append(i)
+            if i + 11 > n:
+                return None
+            lct = blob[i + 9]
+            i += 10
+            if lct & 0x80:              # local color table
+                i += 3 * (2 << (lct & 0x07))
+            i = _skip_subblocks(i + 1)  # LZW min code size + data
+        else:
+            return None                 # malformed block label
+    return None                         # ran off the end without a trailer
+
+
+def _decode_frames(fmt: str, blob: bytes):
+    """Frame metadata — still-image formats are single-frame by definition;
+    GIF frame counts come from the codec-free block walk above. Pixel/sample
+    DECODE remains codec-dependent (riff/unknown return None); a real
+    deployment swaps in PIL/ffmpeg, the contract is
+    (n_frames, sample_frame_offsets) or None."""
     if fmt in ("png", "jpeg"):
         return 1, [0]
-    return None  # gif may be animated; riff/html/unknown need a codec
+    if fmt == "gif":
+        offs = _gif_frame_offsets(blob)
+        if offs is not None:
+            return len(offs), offs
+    return None  # riff/html/unknown (or malformed gif) need a codec
 
 
 def _meta_one(url: str, blob: bytes) -> tuple:

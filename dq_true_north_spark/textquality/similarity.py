@@ -49,18 +49,25 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for every query vector (rows matching
     query_filter). Queries are broadcast; corpus is scanned once."""
+    # norms are hoisted into each side's projection BEFORE the join — one
+    # aggregate per vector instead of Q× per corpus row (VERDICT r2 #3; the
+    # same shape embedding_near_dup_pairs already used)
     q = embeddings.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(vec_col).alias("qnorm"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(vec_col).alias("nnorm"),
     )
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.withColumn(
         "cosine_sim",
-        _dot("qvec", "nvec") / (_norm("qvec") * _norm("nvec")),
+        _dot("qvec", "nvec") / (F.col("qnorm") * F.col("nnorm")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -121,25 +128,27 @@ def ann_lsh_topk(
     Plan shape: bucket bits are codegen'd expressions; the candidate join
     shuffles on (table_id, bucket) — each bucket holds ~n/2^n_planes docs,
     so skew is bounded by construction."""
-    tagged = embeddings
+    tagged = embeddings.withColumn("__nrm", _norm(vec_col))
     for t in range(n_tables):
         tagged = with_lsh_bucket(
             tagged, dim, vec_col, n_planes, table=t, out_col=f"__b{t}"
         )
     buckets = F.array(*[F.col(f"__b{t}") for t in range(n_tables)])
     b = tagged.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col), F.col(vec_col), F.col("__nrm"),
         F.posexplode(buckets).alias("table_id", "bucket"),
     )
     q = b.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        F.col("__nrm").alias("qnorm"),
         F.col("table_id").alias("qtable"),
         F.col("bucket").alias("qbucket"),
     )
     c = b.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
+        F.col("__nrm").alias("nnorm"),
         "table_id", "bucket",
     )
     joined = (
@@ -152,7 +161,7 @@ def ann_lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = joined.withColumn(
-        "cosine_sim", _dot("qvec", "nvec") / (_norm("qvec") * _norm("nvec"))
+        "cosine_sim", _dot("qvec", "nvec") / (F.col("qnorm") * F.col("nnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -213,9 +222,13 @@ def ivf_train_centroids(
 
 
 def _assign_cells(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """argmax-cosine cell per vector; ties broken by cell id."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", _dot("v", "c") / (_norm("v") * _norm("c"))
+    """argmax-cosine cell per vector; ties broken by cell id. Norms are
+    hoisted to one per vector / one per centroid — not recomputed per
+    (vector, centroid) pair (VERDICT r2 #3 discipline)."""
+    v = vecs.withColumn("__vn", _norm("v"))
+    c = centroids.withColumn("__cn", _norm("c"))
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "sim", _dot("v", "c") / (F.col("__vn") * F.col("__cn"))
     )
     w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell"))
     return (
@@ -223,6 +236,66 @@ def _assign_cells(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vid", "v", "cell")
     )
+
+
+def _query_probes(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_filter: str,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """(query_id, qvec, qnorm, cell) — each query's n_probe nearest cells.
+    The filter is applied against the ORIGINAL column names (never rewritten
+    by string surgery), then the id is aliased for the internal frames."""
+    qvecs = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("__qn", _norm("v"))
+    c = centroids.withColumn("__cn", _norm("c"))
+    qscored = qvecs.crossJoin(F.broadcast(c)).withColumn(
+        "sim", _dot("v", "c") / (F.col("__qn") * F.col("__cn"))
+    )
+    wq = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qvec"),
+            F.col("__qn").alias("qnorm"),
+            "cell",
+        )
+    )
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 3,
+) -> None:
+    """Materialize the IVF index: the inverted file (vid, v, cell) written
+    as parquet PARTITIONED BY cell under `path`/inverted, and the trained
+    centroids under `path`/centroids. Built once per corpus; queries then
+    read ONLY their probed cells' partition directories (Spark prunes on
+    the static `cell IN (...)` filter) — n_probe/n_cells of the bytes
+    instead of recomputing the assignment per run (VERDICT r2 #5)."""
+    centroids = ivf_train_centroids(
+        embeddings, n_cells, id_col, vec_col, train_iters
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    index = _assign_cells(vecs, centroids)
+    index.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/inverted"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ann_ivf_topk(
@@ -234,44 +307,51 @@ def ann_ivf_topk(
     n_cells: int = 8,
     n_probe: int = 4,
     train_iters: int = 3,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors — the inverted-file counterpart to
     ann_lsh_topk: train a k-means coarse quantizer, index every vector into
     its nearest cell, then for each query scan only its n_probe nearest
-    cells and exact-rerank. At corpus scale the index assignment is written
-    once (partitioned by cell — the 'inverted file'), and queries touch
-    n_probe/n_cells of the data instead of all of it."""
-    centroids = ivf_train_centroids(
-        embeddings, n_cells, id_col, vec_col, train_iters
-    )
-    vecs = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    index = _assign_cells(vecs, centroids)          # the inverted file
+    cells and exact-rerank.
 
-    # per query: its n_probe nearest cells. The filter is applied against
-    # the ORIGINAL column names (never rewritten by string surgery), then
-    # the id is aliased for the internal frames.
-    qvecs = embeddings.filter(query_filter).select(
-        F.col(id_col).alias("vid"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    qscored = qvecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", _dot("v", "c") / (_norm("v") * _norm("c"))
-    )
-    wq = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("vid").alias("query_id"), F.col("v").alias("qvec"), "cell")
-    )
+    index_path=None recomputes the assignment in-memory (fine for small
+    inputs / tests). With index_path (written by `ivf_write_index`) the
+    trained centroids and the cell-partitioned inverted file are READ
+    instead: the probed cell ids are resolved first (a tiny
+    queries×centroids job) and the inverted-file scan carries a static
+    `cell IN (...)` partition filter, so only n_probe/n_cells of the corpus
+    bytes are touched — the actual at-scale contract of an IVF index."""
+    spark = embeddings.sparkSession
+    if index_path is not None:
+        centroids = spark.read.parquet(f"{index_path}/centroids")
+        probes = _query_probes(
+            embeddings, centroids, query_filter, id_col, vec_col, n_probe
+        )
+        # tiny by construction: <= n_queries * n_probe, bounded by n_cells
+        probe_cells = sorted(
+            {r["cell"] for r in probes.select("cell").distinct().collect()}
+        )
+        index = spark.read.parquet(f"{index_path}/inverted").filter(
+            F.col("cell").isin(probe_cells)       # partition pruning
+        )
+    else:
+        centroids = ivf_train_centroids(
+            embeddings, n_cells, id_col, vec_col, train_iters
+        )
+        vecs = embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        index = _assign_cells(vecs, centroids)      # the inverted file
+        probes = _query_probes(
+            embeddings, centroids, query_filter, id_col, vec_col, n_probe
+        )
 
-    cand = index.join(F.broadcast(probes), "cell").filter(
-        F.col("vid") != F.col("query_id")
-    )
+    cand = index.withColumn("__vn", _norm("v")).join(
+        F.broadcast(probes), "cell"
+    ).filter(F.col("vid") != F.col("query_id"))
     scored = cand.withColumn(
-        "cosine_sim", _dot("qvec", "v") / (_norm("qvec") * _norm("v"))
+        "cosine_sim", _dot("qvec", "v") / (F.col("qnorm") * F.col("__vn"))
     ).dropDuplicates(["query_id", "vid"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vid")

@@ -31,7 +31,10 @@ _STEPS: list[tuple[str, str]] = [
     (r"^(http://[^/?#]*):80([/?]|$)", r"\1\2"),     # 3. default ports
     (r"^(https://[^/?#]*):443([/?]|$)", r"\1\2"),
     (rf"([?&]){_TRACKING}=[^&#]*", r"\1"),          # 4a. tracking params
-    (r"&&", "&"),                                   # 4b. separators they left
+    # 4b. separators they left: collapse WHOLE runs in one pass — a plain
+    # "&&" rewrite is single-pass ("&&&" -> "&&" residue), so 3+ adjacent
+    # stripped params broke idempotence (round-2 ADVICE #1)
+    (r"&{2,}", "&"),
     (r"\?&", "?"),
     (r"[?&]$", ""),                                 # 4c. dangling ? or &
     (r"([^/:])/$", r"\1"),                          # 5. trailing slash

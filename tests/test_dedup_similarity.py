@@ -377,3 +377,141 @@ def test_media_transform_plumbing_isolates_unsupported(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         transform_media(pages, "html", op="rotate")
+
+
+def test_keep_representatives_auto_strategy(spark):
+    """broadcast_losers=None applies the exact-dedup 10% rule (VERDICT r2
+    #4): the decision function flips at BROADCAST_DUP_FRACTION_MAX, and the
+    auto path returns the same rows as either pinned strategy in both the
+    low-dup and mirror-heavy regimes."""
+    from dq_true_north_spark.textquality.dedup import (
+        keep_representatives,
+        losers_broadcastable,
+    )
+    from dq_true_north_spark.textquality.pipeline import (
+        BROADCAST_DUP_FRACTION_MAX,
+    )
+
+    assert losers_broadcastable(5, 100)           # 5% -> broadcast
+    assert not losers_broadcastable(50, 100)      # 50% -> sort-merge
+    assert not losers_broadcastable(0, 0)         # degenerate
+    thr = int(BROADCAST_DUP_FRACTION_MAX * 100)
+    assert losers_broadcastable(thr, 100)         # boundary inclusive
+    assert not losers_broadcastable(thr + 1, 100)
+
+    # low-dup corpus: 2 losers of 26 docs
+    low_pairs = spark.createDataFrame(
+        [("b", "a"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    docs = spark.createDataFrame(
+        [(f"{c}", f"{c}") for c in "abcdefghijklmnopqrstuvwxyz"],
+        "url string, text string",
+    )
+    want_low = {r["url"] for r in
+                keep_representatives(docs, low_pairs, broadcast_losers=True).collect()}
+    got_low = {r["url"] for r in
+               keep_representatives(docs, low_pairs).collect()}
+    assert got_low == want_low
+
+    # mirror-heavy corpus: one giant cluster, 25 of 26 docs are losers
+    hi_pairs = spark.createDataFrame(
+        [("a", f"{c}") for c in "bcdefghijklmnopqrstuvwxyz"],
+        "doc_a string, doc_b string",
+    )
+    want_hi = {r["url"] for r in
+               keep_representatives(docs, hi_pairs, broadcast_losers=False).collect()}
+    got_hi = {r["url"] for r in keep_representatives(docs, hi_pairs).collect()}
+    assert got_hi == want_hi == {"a"}
+
+
+def test_lsh_pairs_never_emit_self_pairs(spark):
+    """A reused id (the synthetic corpus's class 13 url reuse) must not
+    produce doc_a == doc_b rows (round-2 ADVICE #2)."""
+    from dq_true_north_spark.textquality.dedup import (
+        minhash_candidate_pairs,
+        simhash_near_pairs,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [("dup-url", text), ("dup-url", text), ("other", text)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    mh = minhash_candidate_pairs(df, id_col="url", text_col="text").collect()
+    assert mh, "identical texts must still pair across distinct ids"
+    assert all(r["doc_a"] != r["doc_b"] for r in mh)
+    sh = simhash_near_pairs(df, id_col="url", text_col="text").collect()
+    assert sh
+    assert all(r["doc_a"] != r["doc_b"] for r in sh)
+
+
+def test_ann_ivf_persisted_index_matches_in_memory(spark, tmp_path):
+    """ivf_write_index + index_path probe == the in-memory path (VERDICT r2
+    #5): same trained centroids -> same assignment -> identical top-k; and
+    the probe plan carries the static cell partition filter so only probed
+    cells' files are read."""
+    from dq_true_north_spark.textquality.similarity import (
+        ann_ivf_topk,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, n_cells=8)
+
+    mem = ann_ivf_topk(emb, "vec_id % 100 = 0", k=10,
+                       n_cells=8, n_probe=4)
+    disk = ann_ivf_topk(emb, "vec_id % 100 = 0", k=10,
+                        n_cells=8, n_probe=4, index_path=path)
+    key = lambda r: (r["query_id"], r["rank"])
+    mem_rows = sorted(((r["query_id"], r["rank"], r["neighbor_id"],
+                        r["cosine_sim"]) for r in mem.collect()))
+    disk_rows = sorted(((r["query_id"], r["rank"], r["neighbor_id"],
+                         r["cosine_sim"]) for r in disk.collect()))
+    assert disk_rows == mem_rows
+    # the inverted file is laid out one directory per cell
+    import os
+
+    cells = {d for d in os.listdir(f"{path}/inverted") if d.startswith("cell=")}
+    assert len(cells) == 8
+    # and the probe scan prunes on cell (static IN filter reaches the scan)
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+    emb.unpersist()
+
+
+def test_gif_frame_count_codec_free(spark):
+    """Animated GIFs get a real n_frames from the block walk — two image
+    descriptors => n_frames=2, decoder='headers', offsets point at the
+    0x2C blocks (VERDICT r2 #9)."""
+    from dq_true_north_spark.textquality.multimodal import (
+        _gif_frame_offsets,
+        decode_media_meta,
+    )
+
+    def sub(data: bytes) -> bytes:
+        return bytes([len(data)]) + data + b"\x00"
+
+    hdr = (b"GIF89a" + (3).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + bytes([0x00, 0, 0]))
+    gce = b"\x21\xf9" + sub(b"\x00\x00\x00\x00")
+    img = (b"\x2c" + bytes([0, 0, 0, 0, 3, 0, 2, 0, 0x00])
+           + b"\x02" + sub(b"\x44\x01"))
+    two_frame = hdr + gce + img + gce + img + b"\x3b"
+    offs = _gif_frame_offsets(two_frame)
+    assert offs is not None and len(offs) == 2
+    assert all(two_frame[o] == 0x2C for o in offs)
+
+    # with a global color table the walk must skip it before the blocks
+    hdr_gct = (b"GIF89a" + (3).to_bytes(2, "little")
+               + (2).to_bytes(2, "little") + bytes([0x80, 0, 0])
+               + b"\x00" * 6)
+    assert _gif_frame_offsets(hdr_gct + img + b"\x3b") == [19]
+    # truncated stream -> honest None, never a guess
+    assert _gif_frame_offsets(two_frame[:15]) is None
+
+    df = spark.createDataFrame(
+        [("g2", bytearray(two_frame))], "url string, html binary"
+    )
+    row = decode_media_meta(df, "html").collect()[0]
+    assert row["n_frames"] == 2
+    assert row["decoder"] == "headers"
+    assert (row["format"], row["width"], row["height"]) == ("gif", 3, 2)

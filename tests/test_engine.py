@@ -210,3 +210,69 @@ def test_uniqueness_accepts_reference_outer_form(spark):
     rows = {r["rule_name"]: r for r in summary.collect()}
     assert rows["uniq_outer"]["result_value"] == rows["uniq_inner"]["result_value"]
     assert rows["uniq_outer"]["indicator"] == rows["uniq_inner"]["indicator"]
+
+
+def test_completeness_one_col_arm_derives_expected_date(spark, tmp_path):
+    """The 1-col COMPLETENESS arm logs a derived expected date (yesterday)
+    and the reference's 'N/A - Count Check' sentinel instead of empty
+    strings (dq_rules_library.py:139-149; VERDICT r2 missing #1)."""
+    local_sink = ResultSink(str(tmp_path / "cmp_sink"))
+    rule = {
+        "rule_id": 90, "rule_name": "one_col_completeness",
+        "rule_type": "COMPLETENESS",
+        "logic_implementation": "SQL_QUERY",
+        "logic_definition": "SELECT 3 AS missing_days",
+        "parameters": "{}", "segment_value": "", "is_active": True,
+    }
+    summary = run_catalog(spark, [rule], sink=local_sink, write_summary=False)
+    row = summary.first()
+    assert row["indicator"] == C.FAIL
+    assert row["result_value"] == "3"
+    detail = local_sink.read(spark, "dq_details_completeness").first()
+    assert detail["actual_max_date"] == "N/A - Count Check"
+    assert detail["days_missing"] == 3
+    yesterday = spark.sql("SELECT CAST(date_sub(current_date(), 1) AS STRING)").first()[0]
+    assert detail["expected_date"] == yesterday
+
+
+def test_negative_values_default_timestamp_column(spark, tmp_path):
+    """Reference defaults timestamp_column='CREATED_DATE'
+    (dq_rules_library.py:655): used when present, silently NULL when the
+    DEFAULT column is absent, but an EXPLICIT missing column still errors
+    like the reference."""
+    import datetime
+
+    local_sink = ResultSink(str(tmp_path / "neg_sink"))
+    spark.createDataFrame(
+        [(1, -5.0, datetime.datetime(2024, 6, 1, 12, 0))],
+        "id int, amount double, created_date timestamp",
+    ).createOrReplaceTempView("neg_with_created")
+    spark.createDataFrame(
+        [(1, -5.0)], "id int, amount double"
+    ).createOrReplaceTempView("neg_without_created")
+
+    def neg_rule(rid, src, **extra):
+        params = {"source_table": src, "numeric_columns": ["amount"],
+                  "id_column": "id", **extra}
+        return {
+            "rule_id": rid, "rule_name": f"neg_{rid}",
+            "rule_type": "NEGATIVE_VALUES",
+            "logic_implementation": "SNOWPARK_FUNC", "logic_definition": "",
+            "parameters": json.dumps(params), "segment_value": "",
+            "is_active": True,
+        }
+
+    summary = run_catalog(
+        spark,
+        [neg_rule(91, "neg_with_created"), neg_rule(92, "neg_without_created"),
+         neg_rule(93, "neg_without_created", timestamp_column="nope")],
+        sink=local_sink, write_summary=False,
+    )
+    rows = {r["rule_name"]: r for r in summary.collect()}
+    assert rows["neg_91"]["indicator"] == C.FAIL
+    assert rows["neg_92"]["indicator"] == C.FAIL
+    assert rows["neg_93"]["indicator"] == C.ERROR   # explicit missing column
+    details = local_sink.read(spark, "dq_negative_value_details").collect()
+    by_rule = {r["rule_name"]: r for r in details}
+    assert by_rule["neg_91"]["record_timestamp"] == "2024-06-01 12:00:00"
+    assert by_rule["neg_92"]["record_timestamp"] is None

@@ -41,3 +41,30 @@ def test_host_partitioning_is_skewed_but_salting_fixes_it(spark):
         assert sum(hist_salted) == sum(hist_url) == 2000
     finally:
         pages.unpersist()
+
+
+def test_host_of_handles_slashless_and_query_only_urls(spark):
+    """Unified extractor (VERDICT r2 #2): the batch host_of must agree with
+    the streaming path — no '' bucket for slashless / query-only URLs, and
+    salt_col never groups real hosts under the empty host."""
+    from dq_true_north_spark.partitioning import salt_col
+
+    urls = [
+        ("https://bare.example.org",),
+        ("https://bare.example.org?x=1",),
+        ("https://bare.example.org#frag",),
+        ("https://bare.example.org/p",),
+        ("HTTP://bare.example.org/q",),
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    hosts = [r[0] for r in df.select(host_of()).collect()]
+    assert hosts == ["bare.example.org"] * 5
+    salts = [r[0] for r in df.select(salt_col()).collect()]
+    assert all(s.startswith("bare.example.org#") for s in salts)
+
+    # streaming and batch share ONE extractor — literally the same function
+    import inspect
+
+    from dq_true_north_spark import streaming
+
+    assert streaming.host_of is host_of

@@ -147,18 +147,30 @@ def test_historical_zero_expected_is_pass(spark, expected_zero_rows):
 
 
 def test_no_native_round_in_any_rendered_sql():
-    """The unified floor-rounding invariant: no rendered SQL — either
+    """The unified floor-rounding invariant: no rendered SQL — EITHER
     dialect — may contain a native round() call (engines disagree at
-    half-boundaries; CLAUDE.md invariant)."""
+    half-boundaries; CLAUDE.md invariant). Round-2 ADVICE #3: the guard now
+    renders the Spark arm from the stored template too, so a round()
+    introduced only on the Spark side also fails here."""
     import re
 
     from dq_true_north_spark.queries import registry
+    from dq_true_north_spark.textquality.spec import DUCK, SPARK
 
     pat = re.compile(r"(?<![A-Za-z0-9_])round\s*\(", re.IGNORECASE)
+    checked_spark = 0
     for name, q in registry().items():
         oracle = q.get("oracle")
         if oracle:
             assert not pat.search(oracle), f"{name}: native round() in oracle SQL"
+        template = q.get("template")
+        if template:
+            for dialect in (SPARK, DUCK):
+                assert not pat.search(template(dialect)), (
+                    f"{name}: native round() in {dialect} SQL"
+                )
+            checked_spark += 1
+    assert checked_spark >= 30  # the guard actually covers the sql queries
 
 
 def test_malformed_parameters_json_is_isolated(spark):
