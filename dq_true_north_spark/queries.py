@@ -1109,8 +1109,76 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang",
         s.getField("pred_lang").alias("pred_lang"),
-        F.round(s.getField("lang_confidence"), 4).alias("lang_confidence"),
+        # floor-based round4 (spec.round4 semantics) — this column is
+        # oracle-compared against spec-computed values, so native round()
+        # is banned (CLAUDE.md invariant)
+        (F.floor(s.getField("lang_confidence") * 1e4 + F.lit(0.5)) / 1e4)
+        .alias("lang_confidence"),
     )
+
+
+_SPEC_ORACLE_PARQUET = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _register_spec_value_oracles() -> None:
+    """doc_fingerprints / langid_documents upgraded from rows-only to full
+    oracle checks (VERDICT r2 #6): both are deterministic pure-Python/numpy
+    specs, so the DuckDB oracle is a VALUES table of SPEC-computed expected
+    values over the driver's correctness-scale documents (sf0.01) — the
+    canonical_urls pattern. The Spark arm runs the PRODUCTION vectorized
+    kernels (chunked-numpy Horner fingerprint; reduceat batch langid); the
+    oracle re-derives every value through the SCALAR reference paths
+    (fingerprint.fingerprint_text_scalar, langmodel.classify), so the check
+    is production-vs-spec, never self-comparison. Generation costs ~0.2 s
+    for 500 docs, paid once at import; when the sf0.01 parquet is absent
+    the two queries simply stay rows-only."""
+    import os
+
+    if not os.path.exists(_SPEC_ORACLE_PARQUET):
+        return
+    import duckdb
+    import numpy as np
+
+    from .textquality.fingerprint import fingerprint_text_scalar
+    from .textquality.langmodel import classify
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, lang, text FROM "
+        f"read_parquet('{_SPEC_ORACLE_PARQUET}') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    fp_vals = ", ".join(
+        f"({int(d)}, {fingerprint_text_scalar(t)})" for d, _, t in rows
+    )
+    _REGISTRY["doc_fingerprints"]["oracle"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(fingerprint AS BIGINT) AS fingerprint "
+        f"FROM (VALUES {fp_vals}) t(doc_id, fingerprint)"
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    lang_vals = []
+    for d, lang, t in rows:
+        pred, conf = classify(t)
+        # mirror the production chain exactly: np.round(conf, 6) inside the
+        # UDF, then the floor-based round4 applied by the query
+        conf4 = float(
+            np.floor(np.round(np.float64(conf), 6) * 1e4 + 0.5) / 1e4
+        )
+        lang_vals.append(f"({int(d)}, '{esc(lang)}', '{esc(pred)}', {conf4!r})")
+    _REGISTRY["langid_documents"]["oracle"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, pred_lang, "
+        "CAST(lang_confidence AS DOUBLE) AS lang_confidence "
+        f"FROM (VALUES {', '.join(lang_vals)}) "
+        "t(doc_id, lang, pred_lang, lang_confidence)"
+    )
+
+
+_register_spec_value_oracles()
 
 
 # ========================================================= the engine run ==
