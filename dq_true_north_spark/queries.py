@@ -983,6 +983,27 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@df_query("near_dup_clusters_star_pages")
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters via alternating large-star/small-star
+    contraction (Kiveris et al. SOCC'14) — the O(log n)-round path for
+    unknown-diameter graphs, vs the label-propagation O(diameter) loop.
+    Same output contract as near_dup_clusters_pages; equality between the
+    two algorithms (and a union-find reference) is asserted in
+    tests/test_dedup_similarity.py. Iterative -> rows-only driver check."""
+    from pyspark.sql import functions as F
+
+    from .corpus import n_pages_for_sf, pages_df
+    from .textquality.dedup import minhash_candidate_pairs, star_contract_clusters
+
+    pages = pages_df(spark, min(n_pages_for_sf(sf_dir), 10_000))
+    pairs = minhash_candidate_pairs(pages, id_col="url", text_col="text")
+    return star_contract_clusters(pairs).select(
+        "doc", "cluster_id",
+        (F.col("doc") == F.col("cluster_id")).cast("int").alias("is_representative"),
+    )
+
+
 @df_query("ann_ivf_embeddings")
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: DataFrame-native k-means coarse

@@ -350,6 +350,85 @@ def losers_broadcastable(n_losers: int, n_total: int) -> bool:
 # ----------------------------------------- near-dup cluster formation ------
 
 
+def _canonical_edges(pairs: DataFrame) -> DataFrame:
+    """(hi, lo) canonical undirected edges, self-loops dropped."""
+    return (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond', SOCC'14): every node attaches its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. Input/output:
+    canonical (hi, lo) edges. One groupBy + one co-keyed join."""
+    sym = edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).union(
+        edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+    )
+    nbr_min = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = F.least(F.col("mn"), F.col("src"))
+    return (
+        sym.join(nbr_min, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("hi"), m.alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node rewires its smaller-or-equal neighbors
+    (all of them, in canonical orientation) to the minimum among them."""
+    nbr_min = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    joined = edges.join(nbr_min, "hi")
+    rewired = (
+        joined.filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    kept = nbr_min.select(F.col("hi"), F.col("m").alias("lo"))
+    return rewired.union(kept).distinct()
+
+
+def star_contract_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction — O(log n) rounds on ANY graph shape, vs O(diameter) for
+    label propagation. This is the 10^12-doc path the label-propagation
+    docstring promised: a 10^6-long chain converges in ~20 rounds here
+    where propagation would need 10^6.
+
+    At convergence the edge set is a union of stars, every member pointing
+    DIRECTLY at its component's minimum node; labels read straight off the
+    final edges. Same output contract as near_dup_clusters:
+    (doc, cluster_id), cluster_id = lexicographically smallest member.
+    Convergence is CHECKED (set-difference, not a count heuristic) and
+    raises if max_rounds was hit while edges still moved."""
+    edges = _canonical_edges(pairs).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        moved = new.subtract(edges).count() + edges.subtract(new).count()
+        edges = new
+        if moved == 0:
+            members = edges.select(
+                F.col("hi").alias("doc"), F.col("lo").alias("cluster_id")
+            )
+            roots = (
+                edges.select(F.col("lo").alias("doc"))
+                .distinct()
+                .join(edges.select(F.col("hi").alias("doc")), "doc", "left_anti")
+                .withColumn("cluster_id", F.col("doc"))
+            )
+            return members.union(roots)
+    raise RuntimeError(
+        f"star_contract_clusters did not converge in {max_rounds} rounds "
+        f"({moved} edge moves in the last round)"
+    )
+
+
 def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     """Connected components over candidate pairs → (doc, cluster_id), with
     cluster_id = the lexicographically smallest member (the keep-first
@@ -363,10 +442,10 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     (every member shared a bucket with the seed), so diameter is tiny by
     construction — max_iters=10 covers pathological chains; convergence is
     CHECKED, not assumed (raises if the cap was hit while still moving,
-    mirroring the capped-bucket honesty rule). At 10^12 docs swap the loop
-    body for alternating large-star/small-star contraction (same join
-    shape, O(log n) rounds) — the per-round plan here is already the
-    star-contraction primitive.
+    mirroring the capped-bucket honesty rule). For long-chain / unknown-
+    diameter graphs use `star_contract_clusters` above — the alternating
+    large-star/small-star contraction (O(log n) rounds on any shape), same
+    output contract, tested equal to a union-find reference.
 
     Lineage is cut with localCheckpoint each round: an iterative join loop
     otherwise compounds the logical plan and re-executes round 1 at round k.

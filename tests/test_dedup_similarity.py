@@ -515,3 +515,81 @@ def test_gif_frame_count_codec_free(spark):
     assert row["n_frames"] == 2
     assert row["decoder"] == "headers"
     assert (row["format"], row["width"], row["height"]) == ("gif", 3, 2)
+
+
+def test_star_contraction_matches_union_find_and_handles_long_chains(spark):
+    """Alternating large-star/small-star == driver-side union-find on
+    seeded random graphs AND on a 200-node chain (diameter 200) that
+    min-label propagation could never finish in its round budget —
+    the documented 10^12-doc upgrade path, now real."""
+    import random
+
+    import pytest
+
+    from dq_true_north_spark.textquality.dedup import (
+        near_dup_clusters,
+        star_contract_clusters,
+    )
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for x in list(parent):
+            comp.setdefault(find(x), set()).add(x)
+        return {x: min(m) for m in comp.values() for x in m}
+
+    for seed in (7, 8):
+        rng = random.Random(seed)
+        nodes = [f"n{i:03d}" for i in range(60)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)})
+        expected = union_find_labels(edges)
+        pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+        got = {r["doc"]: r["cluster_id"]
+               for r in star_contract_clusters(pairs).collect()}
+        assert got == expected, f"seed {seed}"
+
+    chain = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(200)]
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    # label propagation needs diameter rounds — it must REFUSE, not silently
+    # return partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, max_iters=4)
+    # star contraction collapses the same chain in O(log n) rounds
+    got = {r["doc"]: r["cluster_id"]
+           for r in star_contract_clusters(pairs, max_rounds=15).collect()}
+    assert got == union_find_labels(chain)
+    assert set(got.values()) == {"c0000"}
+
+
+def test_star_and_label_clusters_agree_on_corpus(spark):
+    """Both cluster algorithms produce identical (doc, cluster_id) labels
+    over the real LSH candidate pairs from the synthetic corpus."""
+    from dq_true_north_spark.textquality.dedup import (
+        minhash_candidate_pairs,
+        near_dup_clusters,
+        star_contract_clusters,
+    )
+
+    pages = pages_df(spark, 1000)
+    pairs = minhash_candidate_pairs(pages, id_col="url", text_col="text").cache()
+    try:
+        label = {(r["doc"], r["cluster_id"])
+                 for r in near_dup_clusters(pairs).collect()}
+        star = {(r["doc"], r["cluster_id"])
+                for r in star_contract_clusters(pairs).collect()}
+        assert star == label
+        assert len(star) > 0
+    finally:
+        pairs.unpersist()
