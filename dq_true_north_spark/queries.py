@@ -1053,6 +1053,84 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@df_query(
+    "media_transforms_sample",
+    oracle="""
+SELECT url, op, status, CAST(out_byte_len AS BIGINT) AS out_byte_len
+FROM (VALUES
+  ('media://bmp',  'passthrough',  'ok',          134),
+  ('media://wav',  'passthrough',  'ok',          16044),
+  ('media://gif',  'passthrough',  'ok',          106),
+  ('media://png',  'passthrough',  'ok',          33),
+  ('media://jpeg', 'passthrough',  'ok',          41),
+  ('media://html', 'passthrough',  'ok',          35),
+  ('media://bmp',  'resize',       'ok',          78),
+  ('media://wav',  'resize',       'unsupported', NULL),
+  ('media://gif',  'resize',       'unsupported', NULL),
+  ('media://png',  'resize',       'unsupported', NULL),
+  ('media://jpeg', 'resize',       'unsupported', NULL),
+  ('media://html', 'resize',       'unsupported', NULL),
+  ('media://bmp',  'frame_sample', 'unsupported', NULL),
+  ('media://wav',  'frame_sample', 'unsupported', NULL),
+  ('media://gif',  'frame_sample', 'ok',          60),
+  ('media://png',  'frame_sample', 'unsupported', NULL),
+  ('media://jpeg', 'frame_sample', 'unsupported', NULL),
+  ('media://html', 'frame_sample', 'unsupported', NULL)
+) t(url, op, status, out_byte_len)""",
+)
+def q_media_transforms_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free media transforms over the frozen sample-media set:
+    BMP pixel resize (decode -> nearest-neighbor -> re-encode), GIF
+    container-level frame sampling (output is a valid 2-frame GIF),
+    passthrough identity; entropy-coded formats honestly 'unsupported'.
+    The oracle is a FROZEN literal table (hand-audited expected outputs,
+    not recomputed) — any behavior drift in the binary paths fails the
+    hash (textquality/multimodal.py)."""
+    from functools import reduce
+
+    from .textquality.multimodal import sample_media_df, transform_media
+
+    media = sample_media_df(spark)
+    parts = [
+        transform_media(media, "html", op="passthrough"),
+        transform_media(media, "html", op="resize", width=3, height=2),
+        transform_media(media, "html", op="frame_sample", n_frames=2),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).select(
+        "url", "op", "status", "out_byte_len"
+    )
+
+
+@df_query(
+    "audio_features_sample",
+    oracle="""
+SELECT url, CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_channels AS INT) AS n_channels,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(duration_s AS DOUBLE) AS duration_s,
+       CAST(rms AS DOUBLE) AS rms, CAST(peak AS DOUBLE) AS peak, status
+FROM (VALUES
+  ('media://bmp',  NULL, NULL, NULL, NULL, NULL, NULL, 'unsupported'),
+  ('media://wav',  8000, 1, 8000, 1.0, 0.353539, 0.5, 'ok'),
+  ('media://gif',  NULL, NULL, NULL, NULL, NULL, NULL, 'unsupported'),
+  ('media://png',  NULL, NULL, NULL, NULL, NULL, NULL, 'unsupported'),
+  ('media://jpeg', NULL, NULL, NULL, NULL, NULL, NULL, 'unsupported'),
+  ('media://html', NULL, NULL, NULL, NULL, NULL, NULL, 'unsupported')
+) t(url, sample_rate, n_channels, n_samples, duration_s, rms, peak, status)""",
+)
+def q_audio_features_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM16 WAV feature extraction (duration / RMS / peak via numpy over
+    raw samples — codec-free by format design) over the frozen sample-media
+    set; non-PCM rows degrade per-row to 'unsupported'. Frozen-literal
+    oracle, same discipline as media_transforms_sample."""
+    from .textquality.multimodal import extract_audio_features, sample_media_df
+
+    return extract_audio_features(sample_media_df(spark), "html").select(
+        "url", "sample_rate", "n_channels", "n_samples",
+        "duration_s", "rms", "peak", "status",
+    )
+
+
 # ===================================================== corpus pipeline =====
 
 

@@ -1,18 +1,26 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
 The Spark-side machinery (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. Metadata that CAN be read without a codec is
-parsed for real from the container headers (all public, stable formats):
+signatures) is real and tested. Everything a public container format lets
+us do WITHOUT a codec library is implemented for real:
 
   PNG  — IHDR width/height (bytes 16..24, big-endian, PNG spec §11.2.2)
-  GIF  — logical-screen width/height (bytes 6..10, little-endian, GIF89a §18)
+  GIF  — logical-screen dims (GIF89a §18); frame COUNT and container-level
+         frame SAMPLING via a full block walk (§§19-25) — a sampled output
+         is a valid GIF holding only the chosen frames + their control
+         extensions (no LZW decode needed)
   JPEG — SOFn frame header scan (ITU T.81 §B.2.2) for height/width
+  BMP  — BITMAPINFOHEADER dims; FULL pixel decode + nearest-neighbor
+         resize + re-encode for uncompressed BI_RGB 24/32-bit (pure numpy
+         byte math — no codec exists or is needed)
+  WAV  — RIFF/WAVE chunk walk; PCM16 sample decode → duration / RMS / peak
+         audio features (numpy over the raw samples)
 
-Pixel/sample DECODING (resize, frame extraction, feature vectors) genuinely
-requires codec libraries that do not exist in this container; those rows get
-``decoder='unsupported'`` and NULL decode-dependent fields — never fabricated
-values. Swap `_decode_frames` for a real PIL/ffmpeg call on a cluster with
-codecs — the mapInPandas plumbing, schema and batch shape do not change.
+Only ENTROPY-CODED decoding (PNG inflate, JPEG huffman, GIF LZW, lossy
+audio) requires codec libraries this container lacks; those rows get
+``status='unsupported'`` / NULL fields — never fabricated values. Swap
+`_transform_one`'s unsupported arms for PIL/ffmpeg on a cluster with
+codecs; the mapInPandas plumbing, schema and batch shape do not change.
 
 Reference analog: none — the reference is tabular-only; this is part of the
 LLM-training-data operator set (SURVEY.md §2 extension).
@@ -22,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -35,6 +44,7 @@ _MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"GIF8": "gif",
     b"RIFF": "riff",
+    b"BM": "bmp",
     b"<htm": "html",
     b"<!DO": "html",
 }
@@ -95,19 +105,128 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int] | None:
     return None
 
 
-_HEADER_PARSERS = {"png": _png_dims, "gif": _gif_dims, "jpeg": _jpeg_dims}
+def _bmp_dims(blob: bytes) -> tuple[int, int] | None:
+    # 14-byte file header + BITMAPINFOHEADER: width/height int32 LE at 18/22
+    if len(blob) >= 26 and int.from_bytes(blob[14:18], "little") >= 40:
+        w = int.from_bytes(blob[18:22], "little", signed=True)
+        h = int.from_bytes(blob[22:26], "little", signed=True)
+        return (w, abs(h))
+    return None
 
 
-def _gif_frame_offsets(blob: bytes) -> list[int] | None:
-    """Byte offsets of every image-descriptor block (0x2C) — a GIF frame
-    count WITHOUT a codec, by walking the block structure (GIF89a §§18-20:
-    header + logical screen descriptor, optional global color table, then
-    extensions (0x21, length-prefixed sub-blocks) and image descriptors
-    (9-byte header + optional local color table + LZW sub-blocks) until the
-    0x3B trailer). A raw byte scan for 0x2C would overcount — the byte is
-    legal inside color tables and compressed data; the walk is exact.
-    Returns None (honest unknown, decoder='unsupported') on a malformed or
-    truncated stream, never a guess."""
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB 24/32-bit BMP → (H, W, 3) uint8 RGB array.
+    Pure byte math (rows bottom-up, BGR, 4-byte padded) — no codec exists
+    for this format because none is needed. Raises ValueError on anything
+    compressed or exotic (those rows become status='unsupported')."""
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(blob[10:14], "little")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h_raw = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    h = abs(h_raw)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    need = data_off + stride * h
+    if len(blob) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * nb].reshape(h, w, nb)
+    if h_raw > 0:               # bottom-up storage
+        px = px[::-1]
+    return px[:, :, [2, 1, 0]]  # BGR(A) → RGB, alpha dropped
+
+
+def _encode_bmp(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (inverse of decode)."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    size = 54 + stride * h
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + rows.tobytes()
+
+
+def _resize_nearest(rgb: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample — deterministic, no interpolation codecs."""
+    sh, sw = rgb.shape[:2]
+    yi = (np.arange(h) * sh) // h
+    xi = (np.arange(w) * sw) // w
+    return rgb[yi][:, xi]
+
+
+def _wav_info(blob: bytes) -> dict | None:
+    """RIFF/WAVE chunk walk → fmt + data ranges (no decode yet)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(blob)
+    info: dict = {}
+    while i + 8 <= n:
+        cid = blob[i : i + 4]
+        sz = int.from_bytes(blob[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            info.update(
+                audio_format=int.from_bytes(blob[body : body + 2], "little"),
+                n_channels=int.from_bytes(blob[body + 2 : body + 4], "little"),
+                sample_rate=int.from_bytes(blob[body + 4 : body + 8], "little"),
+                bits=int.from_bytes(blob[body + 14 : body + 16], "little"),
+            )
+        elif cid == b"data":
+            info["data"] = (body, min(body + sz, n))
+        i = body + sz + (sz & 1)   # chunks are word-aligned
+    return info if ("audio_format" in info and "data" in info) else None
+
+
+def _wav_samples(blob: bytes) -> tuple[dict, np.ndarray]:
+    """PCM16 WAV → (info, float64 samples in [-1, 1], channel-interleaved).
+    Raises ValueError for non-PCM16 (compressed audio needs a codec)."""
+    info = _wav_info(blob)
+    if info is None:
+        raise ValueError("not a RIFF/WAVE stream")
+    if info["audio_format"] != 1 or info["bits"] != 16:
+        raise ValueError(
+            f"unsupported WAV encoding (format={info['audio_format']}, "
+            f"bits={info['bits']}) — needs an audio codec"
+        )
+    lo, hi = info["data"]
+    raw = np.frombuffer(blob, dtype="<i2", count=(hi - lo) // 2, offset=lo)
+    return info, raw.astype(np.float64) / 32768.0
+
+
+_HEADER_PARSERS = {
+    "png": _png_dims, "gif": _gif_dims, "jpeg": _jpeg_dims, "bmp": _bmp_dims,
+}
+
+
+def _gif_frame_segments(blob: bytes) -> tuple[int, list[tuple[int, int, int]]] | None:
+    """Walk the GIF block structure (GIF89a §§18-25) and partition the byte
+    stream into frame segments: (prefix_end, [(seg_start, descriptor_off,
+    seg_end), ...]). Each segment runs from the end of the previous frame
+    (so graphics-control/other extensions travel WITH the frame they
+    precede) through the end of the frame's LZW data — `prefix + chosen
+    segments + 0x3B` is itself a VALID GIF, which is what makes codec-free
+    frame sampling possible. A raw byte scan for 0x2C would overcount — the
+    byte is legal inside color tables and compressed data; the walk is
+    exact. Returns None (honest unknown) on a malformed or truncated
+    stream, never a guess."""
     n = len(blob)
     if n < 13:
         return None
@@ -115,7 +234,9 @@ def _gif_frame_offsets(blob: bytes) -> list[int] | None:
     packed = blob[10]
     if packed & 0x80:                   # global color table (§18)
         i += 3 * (2 << (packed & 0x07))
-    offsets: list[int] = []
+    prefix_end = i
+    seg_start = i
+    segments: list[tuple[int, int, int]] = []
 
     def _skip_subblocks(j: int) -> int:
         while j < n and blob[j] != 0:
@@ -125,11 +246,11 @@ def _gif_frame_offsets(blob: bytes) -> list[int] | None:
     while i < n:
         b = blob[i]
         if b == 0x3B:                   # trailer: clean end of stream
-            return offsets or None
+            return (prefix_end, segments) if segments else None
         if b == 0x21:                   # extension: label + sub-blocks
             i = _skip_subblocks(i + 2)
         elif b == 0x2C:                 # image descriptor (§20)
-            offsets.append(i)
+            desc = i
             if i + 11 > n:
                 return None
             lct = blob[i + 9]
@@ -137,31 +258,65 @@ def _gif_frame_offsets(blob: bytes) -> list[int] | None:
             if lct & 0x80:              # local color table
                 i += 3 * (2 << (lct & 0x07))
             i = _skip_subblocks(i + 1)  # LZW min code size + data
+            if i > n:
+                return None
+            segments.append((seg_start, desc, i))
+            seg_start = i
         else:
             return None                 # malformed block label
     return None                         # ran off the end without a trailer
 
 
+def _gif_frame_offsets(blob: bytes) -> list[int] | None:
+    """Image-descriptor byte offsets — frame count without a codec."""
+    scan = _gif_frame_segments(blob)
+    if scan is None:
+        return None
+    return [desc for _, desc, _ in scan[1]]
+
+
+def _gif_sample_frames(blob: bytes, n_frames: int) -> bytes:
+    """Container-level frame sampling: re-assemble a valid GIF holding
+    n_frames evenly-spaced frames (with their control extensions) — real
+    frame sampling with no LZW decode. Raises ValueError on malformed
+    input (isolated per row by the transform plumbing)."""
+    scan = _gif_frame_segments(blob)
+    if scan is None:
+        raise ValueError("malformed or truncated GIF stream")
+    prefix_end, segments = scan
+    total = len(segments)
+    k = max(1, min(n_frames, total))
+    picks = sorted({(j * total) // k for j in range(k)})
+    out = bytearray(blob[:prefix_end])
+    for p in picks:
+        s, _, e = segments[p]
+        out += blob[s:e]
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _decode_frames(fmt: str, blob: bytes):
     """Frame metadata — still-image formats are single-frame by definition;
-    GIF frame counts come from the codec-free block walk above. Pixel/sample
-    DECODE remains codec-dependent (riff/unknown return None); a real
-    deployment swaps in PIL/ffmpeg, the contract is
+    GIF frame counts come from the codec-free block walk above. Compressed
+    video remains codec-dependent (non-WAVE riff/unknown return None); a
+    real deployment swaps in ffmpeg, the contract is
     (n_frames, sample_frame_offsets) or None."""
-    if fmt in ("png", "jpeg"):
+    if fmt in ("png", "jpeg", "bmp"):
         return 1, [0]
     if fmt == "gif":
         offs = _gif_frame_offsets(blob)
         if offs is not None:
             return len(offs), offs
-    return None  # riff/html/unknown (or malformed gif) need a codec
+    return None  # non-wav riff/html/unknown (or malformed gif) need a codec
 
 
 def _meta_one(url: str, blob: bytes) -> tuple:
     fmt = _sniff_format(blob)
+    if fmt == "riff" and _wav_info(blob) is not None:
+        fmt = "wav"
     dims = _HEADER_PARSERS.get(fmt, lambda b: None)(blob)
     frames = _decode_frames(fmt, blob)
-    decoder = "headers" if (dims or frames) else "unsupported"
+    decoder = "headers" if (dims or frames or fmt == "wav") else "unsupported"
     return (
         url,
         len(blob),
@@ -205,26 +360,43 @@ _SUPPORTED_OPS = ("resize", "frame_sample", "passthrough")
 
 
 def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
-    """Per-item media transform. The Spark-side contract (binary in →
-    binary out, per-row error isolation into `status`/`error`) is real;
-    the pixel work needs codecs this container lacks, so everything except
-    `passthrough` raises NotImplementedError — which the plumbing catches
-    per row instead of failing the task. Swap this function for a
-    PIL/ffmpeg implementation on a cluster with codecs; nothing else
-    changes."""
+    """Per-item media transform with per-row error isolation into
+    `status`/`error`. Real, codec-free implementations:
+
+      resize       — BMP (BI_RGB): decode → nearest-neighbor → re-encode
+      frame_sample — GIF: container-level re-assembly of n evenly-spaced
+                     frames (output is a valid GIF)
+      passthrough  — byte identity
+
+    Entropy-coded formats (PNG/JPEG pixels, GIF-to-pixels, video) genuinely
+    need codec libraries this container lacks: those rows raise
+    NotImplementedError, which becomes status='unsupported' — never a task
+    failure. Swap those arms for PIL/ffmpeg on a cluster with codecs;
+    nothing else changes."""
     try:
+        fmt = _sniff_format(blob)
         if op == "passthrough":
             out = blob
         elif op == "resize":
-            raise NotImplementedError(
-                f"resize to {params.get('width')}x{params.get('height')} "
-                f"requires an image codec (none in this container)"
-            )
+            w = int(params.get("width", 64))
+            h = int(params.get("height", 64))
+            if fmt == "bmp":
+                out = _encode_bmp(_resize_nearest(_decode_bmp(blob), w, h))
+            else:
+                raise NotImplementedError(
+                    f"resize to {w}x{h}: pixel decode for {fmt!r} requires "
+                    f"an image codec (none in this container; BMP is the "
+                    f"codec-free path)"
+                )
         elif op == "frame_sample":
-            raise NotImplementedError(
-                f"sampling {params.get('n_frames', 4)} frames requires a "
-                f"video codec (none in this container)"
-            )
+            n = int(params.get("n_frames", 4))
+            if fmt == "gif":
+                out = _gif_sample_frames(blob, n)
+            else:
+                raise NotImplementedError(
+                    f"sampling {n} frames: {fmt!r} requires a video codec "
+                    f"(none in this container; GIF is the codec-free path)"
+                )
         else:
             raise ValueError(f"unknown media op {op!r}")
         return (url, out, len(out), op, "ok", None)
@@ -261,3 +433,106 @@ def transform_media(pages: DataFrame, binary_col: str = "html",
     return pages.select("url", binary_col).mapInPandas(
         run, schema=MEDIA_TRANSFORM_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "url string, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, peak double, status string, error string"
+)
+
+
+def _audio_features_one(url: str, blob: bytes) -> tuple:
+    """PCM16 WAV feature extraction — duration, RMS, peak — computed with
+    numpy over the raw samples (codec-free by format design). Compressed
+    audio rows degrade to status='unsupported'."""
+    try:
+        info, x = _wav_samples(blob)
+        frames = len(x) // max(info["n_channels"], 1)
+        dur = frames / info["sample_rate"] if info["sample_rate"] else 0.0
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        peak = float(np.max(np.abs(x))) if len(x) else 0.0
+        return (
+            url, info["sample_rate"], info["n_channels"], len(x),
+            round(dur, 6), round(rms, 6), round(peak, 6), "ok", None,
+        )
+    except ValueError as exc:
+        return (url, None, None, None, None, None, None, "unsupported", str(exc))
+    except Exception as exc:
+        return (url, None, None, None, None, None, None, "error",
+                f"{type(exc).__name__}: {exc}")
+
+
+def extract_audio_features(pages: DataFrame, binary_col: str = "html") -> DataFrame:
+    """mapInPandas audio feature extraction — Arrow batches of
+    (url, binary) in, per-clip features out, per-row error isolation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [
+                _audio_features_one(u, bytes(blob))
+                for u, blob in zip(b["url"], b[binary_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "sample_rate", "n_channels", "n_samples",
+                         "duration_s", "rms", "peak", "status", "error"],
+            )
+
+    return pages.select("url", binary_col).mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def sample_media_rows() -> list[tuple[str, bytes]]:
+    """Deterministic crafted media blobs covering every codec-free path —
+    the literal-input set for the media driver queries (the canonical_urls
+    pattern applied to binary columns: driver tables carry no media, so the
+    queries run over a frozen constructed set)."""
+
+    def sub(d: bytes) -> bytes:
+        return bytes([len(d)]) + d + b"\x00"
+
+    # 6x4 gradient BMP (24-bit BI_RGB)
+    rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    bmp = _encode_bmp(rgb)
+
+    # 1-second 440 Hz mono PCM16 WAV at 8 kHz
+    sr = 8000
+    t = np.arange(sr)
+    sig = (np.sin(2 * np.pi * 440 * t / sr) * 16384).astype("<i2")
+    data = sig.tobytes()
+    wav = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+    # 4-frame 3x2 GIF (header + 4 x [graphics-control ext + descriptor])
+    hdr = (b"GIF89a" + (3).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + bytes([0x00, 0, 0]))
+    gce = b"\x21\xf9" + sub(b"\x00\x00\x00\x00")
+    img = (b"\x2c" + bytes([0, 0, 0, 0, 3, 0, 2, 0, 0x00])
+           + b"\x02" + sub(b"\x44\x01"))
+    gif = hdr + (gce + img) * 4 + b"\x3b"
+
+    # PNG and JPEG headers with real dimensions (entropy-coded payloads
+    # truncated — dims parse, pixels rightly unsupported)
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (320).to_bytes(4, "big") + (200).to_bytes(4, "big") + bytes(9))
+    jpeg = (b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF" + bytes(10)
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (120).to_bytes(2, "big") + (160).to_bytes(2, "big") + bytes(12))
+
+    html = b"<html><body>not media</body></html>"
+    return [
+        ("media://bmp", bmp), ("media://wav", wav), ("media://gif", gif),
+        ("media://png", png), ("media://jpeg", jpeg), ("media://html", html),
+    ]
+
+
+def sample_media_df(spark) -> DataFrame:
+    rows = [(u, bytearray(b)) for u, b in sample_media_rows()]
+    return spark.createDataFrame(rows, "url string, html binary")
