@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .. import constants as C
+from ..textquality.spec import round4_col
 from .base import RuleResult
 
 
@@ -61,19 +62,17 @@ def execute_historical_completeness_check(spark: SparkSession, rule: dict, param
         .withColumn("deviation", F.col("actual_count") - F.col("expected_count"))
         .withColumn(
             "deviation_percentage",
-            # floor-based round4 (spec.round4): native round() is banned in
-            # anything a cross-engine consumer might compare (CLAUDE.md
-            # invariant; round-2 ADVICE #3)
-            F.floor(
+            # shared floor-based round4 (spec.round4_col): native round()
+            # is banned in anything a cross-engine consumer might compare
+            # (CLAUDE.md invariant; round-2 ADVICE #3). Value is >= 0 by
+            # abs(), where floor-round == the reference's HALF_UP exactly.
+            round4_col(
                 F.when(F.col("expected_count") == 0, F.lit(0.0))  # :1063-1067
                 .otherwise(
                     F.abs(F.col("deviation").cast("double"))
                     / F.col("expected_count")
                 )
-                * 1e4
-                + 0.5
-            )
-            / 1e4,                                                # :1054-1060
+            ),                                                    # :1054-1060
         )
         .withColumn(
             "status",

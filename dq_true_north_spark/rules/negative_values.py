@@ -54,10 +54,16 @@ def execute_negative_value_check(spark: SparkSession, rule: dict, params: dict, 
             sink.append(
                 negatives.select(
                     "record_id", "record_timestamp", "field_name",
-                    # floor-based round4 — native round() is banned anywhere
-                    # a cross-engine consumer might compare (CLAUDE.md)
-                    (F.floor(F.col("negative_value") * 1e4 + 0.5) / 1e4)
-                    .alias("negative_value"),
+                    # values here are STRICTLY NEGATIVE, where the plain
+                    # floor-round4 would flip half-boundaries toward +inf
+                    # (e.g. -0.00005 -> 0.0, losing the sign). Half-AWAY-
+                    # from-zero via signum·floor(|x|·1e4+0.5) matches the
+                    # reference's ROUND display exactly, still without a
+                    # native round() call.
+                    (
+                        F.signum("negative_value")
+                        * (F.floor(F.abs(F.col("negative_value")) * 1e4 + 0.5) / 1e4)
+                    ).alias("negative_value"),
                     F.lit(rule["rule_id"]).alias("rule_id"),
                     F.lit(rule["rule_name"]).alias("rule_name"),
                 ),

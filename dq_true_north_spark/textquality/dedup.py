@@ -408,6 +408,7 @@ def star_contract_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     Convergence is CHECKED (set-difference, not a count heuristic) and
     raises if max_rounds was hit while edges still moved."""
     edges = _canonical_edges(pairs).localCheckpoint(eager=True)
+    moved = -1   # bound even when max_rounds <= 0
     for _ in range(max_rounds):
         new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         moved = new.subtract(edges).count() + edges.subtract(new).count()
@@ -462,6 +463,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         .withColumn("cluster_id", F.col("doc"))
         .localCheckpoint(eager=True)
     )
+    moved = -1   # bound even when max_iters <= 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
@@ -496,26 +498,32 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
 
 def keep_representatives(df: DataFrame, pairs: DataFrame,
                          id_col: str = "url",
-                         broadcast_losers: bool | None = None) -> DataFrame:
+                         broadcast_losers: bool | None = None,
+                         n_total: int | None = None) -> DataFrame:
     """Drop every near-duplicate except its cluster representative (the
     min-id member). Docs in no pair are kept.
 
     broadcast_losers=None (default) is ADAPTIVE — the same 10% rule as the
     pipeline's exact dedup (pipeline.BROADCAST_DUP_FRACTION_MAX): the loser
-    fraction is measured (the cluster labels are already localCheckpointed,
-    so the counts are cheap re-reads, not recomputation) and the loser set
-    is broadcast only below the threshold. On mirror-heavy corpora the
-    loser set is proportional to the corpus and an unconditional broadcast
-    OOMs the executors (the round-1 exact-dedup lesson; VERDICT r2 #4) —
-    those fall through to a keys-only sort-merge anti-join. Pass True/False
-    to pin the strategy when the dup fraction is known out-of-band."""
+    fraction is measured and the loser set is broadcast only below the
+    threshold. On mirror-heavy corpora the loser set is proportional to the
+    corpus and an unconditional broadcast OOMs the executors (the round-1
+    exact-dedup lesson; VERDICT r2 #4) — those fall through to a keys-only
+    sort-merge anti-join. Cost of measuring: losers.count() is a cheap
+    re-read (the cluster labels are localCheckpointed); the corpus size is
+    a count() whose plan prunes every column (UDF projections included) —
+    still, pass n_total when the caller already knows it (a pipeline that
+    counted its input), or pin True/False when the dup fraction is known
+    out-of-band."""
     losers = (
         near_dup_clusters(pairs)
         .filter(F.col("doc") != F.col("cluster_id"))
         .select(F.col("doc").alias(id_col))
     )
     if broadcast_losers is None:
-        broadcast_losers = losers_broadcastable(losers.count(), df.count())
+        if n_total is None:
+            n_total = df.count()
+        broadcast_losers = losers_broadcastable(losers.count(), n_total)
     if broadcast_losers:
         losers = F.broadcast(losers)
     return df.join(losers, [id_col], "left_anti")

@@ -107,10 +107,12 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int] | None:
 
 def _bmp_dims(blob: bytes) -> tuple[int, int] | None:
     # 14-byte file header + BITMAPINFOHEADER: width/height int32 LE at 18/22
+    # (height may legally be negative = top-down row order; width may not)
     if len(blob) >= 26 and int.from_bytes(blob[14:18], "little") >= 40:
         w = int.from_bytes(blob[18:22], "little", signed=True)
         h = int.from_bytes(blob[22:26], "little", signed=True)
-        return (w, abs(h))
+        if w > 0 and h != 0:
+            return (w, abs(h))
     return None
 
 
@@ -417,6 +419,14 @@ def transform_media(pages: DataFrame, binary_col: str = "html",
 
     if op not in _SUPPORTED_OPS:
         raise ValueError(f"op must be one of {_SUPPORTED_OPS}, got {op!r}")
+    # job-level params fail fast here, not per-row 10^12 times: a zero/
+    # negative target would otherwise emit undecodable 'ok' outputs
+    if op == "resize":
+        w, h = int(params.get("width", 64)), int(params.get("height", 64))
+        if w <= 0 or h <= 0:
+            raise ValueError(f"resize target must be positive, got {w}x{h}")
+    if op == "frame_sample" and int(params.get("n_frames", 4)) < 1:
+        raise ValueError("n_frames must be >= 1")
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for b in batches:

@@ -324,9 +324,12 @@ def ann_ivf_topk(
     spark = embeddings.sparkSession
     if index_path is not None:
         centroids = spark.read.parquet(f"{index_path}/centroids")
+        # materialize the (tiny, broadcast-bound) probe table once — the
+        # cell-id collect below and the candidate join both reuse it
+        # instead of re-running the queries×centroids job twice
         probes = _query_probes(
             embeddings, centroids, query_filter, id_col, vec_col, n_probe
-        )
+        ).localCheckpoint(eager=True)
         # tiny by construction: <= n_queries * n_probe, bounded by n_cells
         probe_cells = sorted(
             {r["cell"] for r in probes.select("cell").distinct().collect()}

@@ -102,6 +102,16 @@ def round4(expr: str, n: int = 4) -> str:
     return f"(floor(({expr}) * 1e{n} + 0.5) / 1e{n})"
 
 
+def round4_col(col, n: int = 4):
+    """Column-side rendering of the SAME frozen formula as round4 above —
+    the single definition for DataFrame-API call sites (rules, df queries),
+    so a future change to the rounding spec edits round4/round4_col/_r4
+    together instead of hunting inlined copies."""
+    from pyspark.sql import functions as F
+
+    return F.floor(col * float(10**n) + F.lit(0.5)) / float(10**n)
+
+
 def word_ngrams(d: str, words_expr: str, n: int) -> str:
     """Word n-gram array, SAFE for documents with fewer than n words.
 

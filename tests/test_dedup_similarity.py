@@ -461,7 +461,6 @@ def test_ann_ivf_persisted_index_matches_in_memory(spark, tmp_path):
                        n_cells=8, n_probe=4)
     disk = ann_ivf_topk(emb, "vec_id % 100 = 0", k=10,
                         n_cells=8, n_probe=4, index_path=path)
-    key = lambda r: (r["query_id"], r["rank"])
     mem_rows = sorted(((r["query_id"], r["rank"], r["neighbor_id"],
                         r["cosine_sim"]) for r in mem.collect()))
     disk_rows = sorted(((r["query_id"], r["rank"], r["neighbor_id"],
@@ -472,9 +471,13 @@ def test_ann_ivf_persisted_index_matches_in_memory(spark, tmp_path):
 
     cells = {d for d in os.listdir(f"{path}/inverted") if d.startswith("cell=")}
     assert len(cells) == 8
-    # and the probe scan prunes on cell (static IN filter reaches the scan)
+    # and the probe scan PRUNES on cell: the static IN filter must appear
+    # as a parquet PartitionFilter (not just anywhere in the plan text)
+    import re
+
     plan = disk._jdf.queryExecution().executedPlan().toString()
-    assert "cell" in plan
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*(IN|in)\b", plan), \
+        plan[:3000]
     emb.unpersist()
 
 

@@ -243,8 +243,10 @@ def test_negative_values_default_timestamp_column(spark, tmp_path):
     import datetime
 
     local_sink = ResultSink(str(tmp_path / "neg_sink"))
+    # -0.00005 also pins the display rounding: half-AWAY-from-zero keeps
+    # the sign (-0.0001), where a plain floor-round4 would log 0.0
     spark.createDataFrame(
-        [(1, -5.0, datetime.datetime(2024, 6, 1, 12, 0))],
+        [(1, -0.00005, datetime.datetime(2024, 6, 1, 12, 0))],
         "id int, amount double, created_date timestamp",
     ).createOrReplaceTempView("neg_with_created")
     spark.createDataFrame(
@@ -276,3 +278,4 @@ def test_negative_values_default_timestamp_column(spark, tmp_path):
     by_rule = {r["rule_name"]: r for r in details}
     assert by_rule["neg_91"]["record_timestamp"] == "2024-06-01 12:00:00"
     assert by_rule["neg_92"]["record_timestamp"] is None
+    assert by_rule["neg_91"]["negative_value"] == -0.0001

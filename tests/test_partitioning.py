@@ -63,8 +63,6 @@ def test_host_of_handles_slashless_and_query_only_urls(spark):
     assert all(s.startswith("bare.example.org#") for s in salts)
 
     # streaming and batch share ONE extractor — literally the same function
-    import inspect
-
     from dq_true_north_spark import streaming
 
     assert streaming.host_of is host_of
