@@ -190,6 +190,13 @@ excluded; 3 interleaved paired visits x 2 timed runs each.
    (local[8] best 19.0k -> 27.6k dps), which pushes local[32] deeper into
    the same single-box ceiling — absolute speed up, 8v32 ratio down. The
    2v8 pairing isolates scaling from that artifact.
+5. Round-3 note: this run's timed job now materializes EVERY output column
+   (no Catalyst pruning of the scrub chain anywhere) and absolute
+   throughput still rose — local[32] best 69k dps (r2: ~50k). The
+   quietest 8v32 visit reached 0.626; visits sharing a noise window with
+   another tenant's burst sit near 0.28 — same DRAM-ceiling +
+   shared-host reading as above, with the 2v8 pairing again the clean
+   >=0.8 evidence.
 
 Determinism across parallelism is separately enforced by
 tests/test_pipeline.py::test_determinism_across_parallelism (exact verdict
