@@ -215,6 +215,82 @@ GROUP BY md5(text)
 HAVING COUNT(*) > 1"""
 
 
+@sql_query("deterministic_sample_documents")
+def q_deterministic_sample(d: str) -> str:
+    """Deterministic corpus subsampling — the training-pipeline staple:
+    membership = md5(seed || doc_id) hex prefix below a threshold, so the
+    sample is (a) exactly reproducible across runs/engines/partitionings,
+    (b) uniform (md5 avalanche), (c) computable map-side with no shuffle
+    and no state — rand()-based sampling is none of those. '4000'/'10000'
+    = a 25% target rate. Same hash-bucket idea as the dedup keys; md5 is
+    bit-identical across Spark and DuckDB (proven by doc_exact_dup_groups)."""
+    st = _str_t(d)
+    h = f"substr(md5(concat('sample-seed-1:', CAST(doc_id AS {st}))), 1, 4)"
+    return f"""
+SELECT doc_id, lang, {h} AS sample_bucket
+FROM documents
+WHERE {h} < '4000'"""
+
+
+@sql_query("stratified_sample_documents")
+def q_stratified_sample(d: str) -> str:
+    """Stratified sampling with exact per-stratum quotas: k docs per source,
+    chosen by hash order (deterministic pseudo-random) with doc_id
+    tie-break — how a balanced training mix is drawn from a skewed corpus.
+    One window per stratum; at 100 TB the partition key is the stratum, so
+    the shuffle is exactly the groupBy a quota sample requires."""
+    st = _str_t(d)
+    h = f"md5(concat('strata-seed-7:', CAST(doc_id AS {st})))"
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang, CAST(rn AS INT) AS sample_rank
+FROM ranked WHERE rn <= 10"""
+
+
+@sql_query("per_source_cap_documents")
+def q_per_source_cap(d: str) -> str:
+    """Per-source document caps — keep the k LONGEST docs per source
+    (quality-aware dominance control: no single crawl source may exceed
+    its budget). QUALIFY-rank pattern (the reference's rolling-average
+    rn=1 idiom generalized, dq_rules_library.py:190-205)."""
+    return """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rn AS INT) AS length_rank
+FROM ranked WHERE rn <= 5"""
+
+
+@sql_query("token_budget_packs")
+def q_token_budget_packs(d: str) -> str:
+    """Sequence-pack planning: assign documents to fixed token-budget packs
+    (LLM pretraining batches) by running cumulative token count — pack_id =
+    floor(tokens_before_this_doc / budget). Deterministic doc_id order; the
+    window SUM is CAST BIGINT in both dialects (the round-1 HUGEINT
+    lesson). At scale the ORDER BY window runs per shard (url hash range)
+    and pack ids are offset per shard — the plan shape is identical."""
+    bpe = spec.bpe_token_count(d, "text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST({bpe} AS BIGINT) AS tokens FROM documents
+)
+SELECT doc_id, tokens,
+       CAST(FLOOR(
+         CAST(SUM(tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - tokens AS DOUBLE)
+         / 2048.0
+       ) AS BIGINT) AS pack_id
+FROM t"""
+
+
 # ============================================================== dup rules ==
 
 

@@ -499,7 +499,8 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
 def keep_representatives(df: DataFrame, pairs: DataFrame,
                          id_col: str = "url",
                          broadcast_losers: bool | None = None,
-                         n_total: int | None = None) -> DataFrame:
+                         n_total: int | None = None,
+                         algorithm: str = "label") -> DataFrame:
     """Drop every near-duplicate except its cluster representative (the
     min-id member). Docs in no pair are kept.
 
@@ -514,9 +515,16 @@ def keep_representatives(df: DataFrame, pairs: DataFrame,
     a count() whose plan prunes every column (UDF projections included) —
     still, pass n_total when the caller already knows it (a pipeline that
     counted its input), or pin True/False when the dup fraction is known
-    out-of-band."""
+    out-of-band.
+
+    algorithm: 'label' (default — min-label propagation, right for the
+    near-clique graphs LSH pairs produce) or 'star' (large/small-star
+    contraction, O(log n) rounds for unknown-diameter graphs); the two are
+    tested output-identical."""
+    cluster_fn = {"label": near_dup_clusters,
+                  "star": star_contract_clusters}[algorithm]
     losers = (
-        near_dup_clusters(pairs)
+        cluster_fn(pairs)
         .filter(F.col("doc") != F.col("cluster_id"))
         .select(F.col("doc").alias(id_col))
     )

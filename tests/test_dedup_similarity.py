@@ -669,3 +669,19 @@ def test_bmp_variants_decode(spark):
         _decode_bmp(hdr(h, 8, 0, 16) + bytes(16))           # palette bmp
     with _pytest.raises(ValueError, match="unsupported BMP"):
         _decode_bmp(hdr(h, 24, 1, 16) + bytes(16))          # RLE compressed
+
+
+def test_keep_representatives_star_algorithm_agrees(spark):
+    from dq_true_north_spark.textquality.dedup import keep_representatives
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    docs = spark.createDataFrame(
+        [(u, u) for u in "abcxyz"], "url string, text string"
+    )
+    via_label = {r["url"] for r in
+                 keep_representatives(docs, pairs, algorithm="label").collect()}
+    via_star = {r["url"] for r in
+                keep_representatives(docs, pairs, algorithm="star").collect()}
+    assert via_label == via_star == {"a", "x", "z"}
