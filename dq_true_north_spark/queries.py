@@ -291,6 +291,48 @@ SELECT doc_id, tokens,
 FROM t"""
 
 
+@sql_query("length_decile_bands")
+def q_length_decile_bands(d: str) -> str:
+    """Corpus-calibrated length filtering: decile bands via ntile over the
+    (n_chars, doc_id) total order — the adaptive version of fixed MIN/MAX
+    length thresholds (a pipeline recalibrates cutoffs per crawl snapshot
+    instead of hard-coding them). keep_band = the middle eight deciles.
+    Deterministic: the tie-break key makes ntile assignment total-ordered
+    in both engines."""
+    return """
+WITH banded AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(decile AS INT) AS decile,
+       CAST(CASE WHEN decile BETWEEN 2 AND 9 THEN 1 ELSE 0 END AS INT)
+         AS keep_band
+FROM banded"""
+
+
+@sql_query("referential_orphans")
+def q_referential_orphans(d: str) -> str:
+    """Cross-table referential integrity — the classic DQ orphan check the
+    reference's generic SQL rule would be handed (dq_rules_library.py:
+    execute_sql_rule), expressed as one UNION of anti-join counts. Scale
+    shape: each arm is a LEFT ANTI join on the FK; Spark broadcasts the
+    smaller dimension side (orders→customer) and sort-merges the big one —
+    both decisions visible in the plan, no driver loop."""
+    return """
+SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS orphan_rows
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS orphan_rows
+FROM orders r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem->part' AS fk, CAST(COUNT(*) AS BIGINT) AS orphan_rows
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_partkey IS NULL"""
+
+
 # ============================================================== dup rules ==
 
 
