@@ -291,6 +291,34 @@ SELECT doc_id, tokens,
 FROM t"""
 
 
+@sql_query("dedupe_lines_documents")
+def q_dedupe_lines(d: str) -> str:
+    """Intra-document repeated-line removal — EMITS the cleaned text
+    (north_star: 'repeated-line/paragraph dedup via exact-line hashing'),
+    not just the dup_lines flag: keep each line's FIRST occurrence in
+    order, rejoin. Spark: array_distinct is documented order-preserving
+    (one pass); DuckDB's list_distinct is NOT, so the oracle uses the
+    keep-first list_filter/list_position idiom — same semantics, proven by
+    the hash match. Runs map-side, no shuffle."""
+    if d == SPARK:
+        lines = "split(text, '\\n')"
+        dedup = f"array_distinct({lines})"
+        joined = f"array_join({dedup}, '\\n')"
+        n_in, n_out = f"size({lines})", f"size({dedup})"
+    else:
+        lines = "str_split(text, chr(10))"
+        dedup = (f"list_filter({lines}, (x, i) -> "
+                 f"list_position({lines}, x) = i)")
+        joined = f"array_to_string({dedup}, chr(10))"
+        n_in, n_out = f"len({lines})", f"len({dedup})"
+    return f"""
+SELECT doc_id,
+       {joined} AS deduped_text,
+       CAST({n_in} AS INT) AS n_lines,
+       CAST({n_out} AS INT) AS n_distinct_lines
+FROM documents"""
+
+
 @sql_query("length_decile_bands")
 def q_length_decile_bands(d: str) -> str:
     """Corpus-calibrated length filtering: decile bands via ntile over the
