@@ -59,10 +59,15 @@ s.sparkContext.setLogLevel("ERROR")
 pages = (s.read.parquet({pages!r})
          .select("url", "warc_ts", "text")
          .repartition(128, "url"))
-v = compute_verdicts(pages).select(
+# materialize EVERY output column (sum of stringified lengths) — same
+# discipline as bench.py: Catalyst must not prune any stage out of the
+# timed job (drop-reason assembly, rule-hit map, scrub chain included)
+out = compute_verdicts(pages)
+v = out.select(
     F.count(F.lit(1)).alias("n"),
-    F.sum(F.length("scrubbed_text")).alias("bytes_out"),
-    F.sum(F.col("keep").cast("int")).alias("kept"))
+    F.sum(F.col("keep").cast("int")).alias("kept"),
+    *[F.sum(F.length(F.col(c.name).cast("string"))).alias(f"_{{c.name}}")
+      for c in out.schema.fields])
 row = v.first()                                     # warm-up (excluded)
 times = []
 for _ in range(2):
@@ -190,13 +195,15 @@ excluded; 3 interleaved paired visits x 2 timed runs each.
    (local[8] best 19.0k -> 27.6k dps), which pushes local[32] deeper into
    the same single-box ceiling — absolute speed up, 8v32 ratio down. The
    2v8 pairing isolates scaling from that artifact.
-5. Round-3 note: this run's timed job now materializes EVERY output column
-   (no Catalyst pruning of the scrub chain anywhere) and absolute
-   throughput still rose — local[32] best 69k dps (r2: ~50k). The
-   quietest 8v32 visit reached 0.626; visits sharing a noise window with
-   another tenant's burst sit near 0.28 — same DRAM-ceiling +
-   shared-host reading as above, with the 2v8 pairing again the clean
-   >=0.8 evidence.
+5. Round-3 note: the timed job now materializes EVERY output column (the
+   `_CHILD` aggregate sums stringified lengths of all verdict fields —
+   drop-reason assembly and the rule-hit map included; earlier rounds
+   summed only scrubbed_text+keep, which let Catalyst prune those
+   projections). Efficiency ratios compare like with like WITHIN this
+   run; absolute dps are NOT comparable to earlier rounds' lighter job.
+   The quietest 8v32 visits sit well above the noisy ones — same
+   DRAM-ceiling + shared-host reading as above, with the 2v8 pairing the
+   clean >=0.8 evidence.
 
 Determinism across parallelism is separately enforced by
 tests/test_pipeline.py::test_determinism_across_parallelism (exact verdict

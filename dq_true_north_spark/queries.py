@@ -343,22 +343,23 @@ FROM banded"""
 def q_referential_orphans(d: str) -> str:
     """Cross-table referential integrity — the classic DQ orphan check the
     reference's generic SQL rule would be handed (dq_rules_library.py:
-    execute_sql_rule), expressed as one UNION of anti-join counts. Scale
-    shape: each arm is a LEFT ANTI join on the FK; Spark broadcasts the
-    smaller dimension side (orders→customer) and sort-merges the big one —
-    both decisions visible in the plan, no driver loop."""
+    execute_sql_rule), expressed as one UNION of NOT EXISTS counts, which
+    Catalyst rewrites to true LEFT ANTI joins (verified:
+    BroadcastHashJoin ... LeftAnti in the executed plan). At test SF every
+    dimension fits the broadcast threshold; past it the planner falls back
+    to a shuffled anti-join on the FK — no driver loop either way."""
     return """
 SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS orphan_rows
-FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderkey IS NULL
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 UNION ALL
 SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS orphan_rows
-FROM orders r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
-WHERE c.c_custkey IS NULL
+FROM orders r
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)
 UNION ALL
 SELECT 'lineitem->part' AS fk, CAST(COUNT(*) AS BIGINT) AS orphan_rows
-FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
-WHERE p.p_partkey IS NULL"""
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)"""
 
 
 # ============================================================== dup rules ==

@@ -521,8 +521,12 @@ def keep_representatives(df: DataFrame, pairs: DataFrame,
     near-clique graphs LSH pairs produce) or 'star' (large/small-star
     contraction, O(log n) rounds for unknown-diameter graphs); the two are
     tested output-identical."""
-    cluster_fn = {"label": near_dup_clusters,
-                  "star": star_contract_clusters}[algorithm]
+    algorithms = {"label": near_dup_clusters, "star": star_contract_clusters}
+    if algorithm not in algorithms:
+        raise ValueError(
+            f"algorithm must be one of {sorted(algorithms)}, got {algorithm!r}"
+        )
+    cluster_fn = algorithms[algorithm]
     losers = (
         cluster_fn(pairs)
         .filter(F.col("doc") != F.col("cluster_id"))

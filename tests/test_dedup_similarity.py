@@ -685,3 +685,14 @@ def test_keep_representatives_star_algorithm_agrees(spark):
     via_star = {r["url"] for r in
                 keep_representatives(docs, pairs, algorithm="star").collect()}
     assert via_label == via_star == {"a", "x", "z"}
+
+
+def test_keep_representatives_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    from dq_true_north_spark.textquality.dedup import keep_representatives
+
+    pairs = spark.createDataFrame([("b", "a")], "doc_a string, doc_b string")
+    docs = spark.createDataFrame([("a", "a")], "url string, text string")
+    with _pytest.raises(ValueError, match="label.*star|star.*label"):
+        keep_representatives(docs, pairs, algorithm="labels")
