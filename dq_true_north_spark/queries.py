@@ -1366,6 +1366,44 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _spec_oracles_done = False
 
 
+def _register_media_meta_oracle() -> None:
+    """media_meta_pages upgraded from rows-only: the corpus generator is
+    pure Python and per-index seeded, so the expected metadata for its
+    2,000 pages is computed driver-side (plain pandas rows → _meta_one)
+    and frozen into a VALUES oracle. What this actually verifies is the
+    DISTRIBUTED half — mapInPandas scheduling, Arrow binary-column round
+    trip, batch boundaries — against a no-Spark reference of the same
+    parser; the parser itself is additionally pinned by the frozen-literal
+    sample-media oracle and unit tests. sf-independent (the query always
+    reads 2,000 generated pages)."""
+    from .corpus import generate_pages_pdf
+    from .textquality.multimodal import _meta_one
+
+    import json as _json
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = []
+    pdf = generate_pages_pdf(2_000)
+    for url, blob in zip(pdf["url"], pdf["html"]):
+        (u, blen, fmt, w, h, nf, offs, dec) = _meta_one(url, bytes(blob))
+        rows.append(
+            f"('{esc(u)}', {blen}, '{esc(fmt)}', "
+            f"{'NULL' if w is None else w}, {'NULL' if h is None else h}, "
+            f"{'NULL' if nf is None else nf}, "
+            f"'{esc(_json.dumps(offs, separators=(',', ':')))}', '{esc(dec)}')"
+        )
+    _REGISTRY["media_meta_pages"]["oracle"] = (
+        "SELECT url, CAST(byte_len AS BIGINT) AS byte_len, format, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+        "CAST(n_frames AS INT) AS n_frames, sample_frame_offsets_json, "
+        "decoder "
+        f"FROM (VALUES {', '.join(rows)}) t(url, byte_len, format, width, "
+        "height, n_frames, sample_frame_offsets_json, decoder)"
+    )
+
+
 def _register_spec_value_oracles() -> None:
     """doc_fingerprints / langid_documents upgraded from rows-only to full
     oracle checks (VERDICT r2 #6): both are deterministic pure-Python/numpy
@@ -1387,6 +1425,8 @@ def _register_spec_value_oracles() -> None:
         return
     _spec_oracles_done = True
     import os
+
+    _register_media_meta_oracle()   # corpus-derived, sf-independent
 
     parquet = os.path.join(
         os.environ.get("DQ_TEST_SF_DIR", "/root/testdata/sf0.01"),
