@@ -1428,10 +1428,28 @@ def _register_spec_value_oracles() -> None:
 
     _register_media_meta_oracle()   # corpus-derived, sf-independent
 
-    parquet = os.path.join(
-        os.environ.get("DQ_TEST_SF_DIR", "/root/testdata/sf0.01"),
-        "documents.parquet",
-    )
+    sf_dir = os.environ.get("DQ_TEST_SF_DIR", "/root/testdata/sf0.01")
+    if "0.01" in sf_dir:
+        # pipeline summary over the 10,000-page sf0.01 corpus, frozen from
+        # tests/golden.py (the reference-faithful pure-Python pipeline,
+        # ~6 s to recompute — too slow for registry time, so the one row
+        # is a hand-frozen literal; the per-document golden F1/scrub gates
+        # in tests/test_pipeline.py keep it honest). Registered only at
+        # the sf0.01 correctness scale the numbers belong to.
+        counts = {
+            "total_docs": 10000, "kept_docs": 4500, "too_short_count": 500,
+            "too_long_count": 0, "mean_word_len_count": 0,
+            "symbol_ratio_count": 500, "low_stopword_fraction_count": 853,
+            "non_alpha_words_count": 238, "ellipsis_lines_count": 500,
+            "bullet_lines_count": 500, "dup_lines_count": 500,
+            "exact_duplicate_count": 500, "lang_not_allowed_count": 652,
+            "low_lang_confidence_count": 2074, "high_perplexity_count": 1001,
+        }
+        cols = ", ".join(f"CAST({v} AS BIGINT) AS {k}"
+                         for k, v in counts.items())
+        _REGISTRY["pages_pipeline_summary"]["oracle"] = f"SELECT {cols}"
+
+    parquet = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(parquet):
         return
     import duckdb
