@@ -326,7 +326,13 @@ def q_length_decile_bands(d: str) -> str:
     length thresholds (a pipeline recalibrates cutoffs per crawl snapshot
     instead of hard-coding them). keep_band = the middle eight deciles.
     Deterministic: the tie-break key makes ntile assignment total-ordered
-    in both engines."""
+    in both engines.
+
+    Scale note: a global-ORDER-BY window funnels through one reducer —
+    fine at monitor scale, not at 10^12 docs. The at-scale variant is
+    two-pass: approx_percentile the 10/90 cutoffs (one partial-agg scan,
+    see doc_length_quantiles), broadcast them back as a literal filter.
+    This exact-ntile form is the oracle-checkable spec of that filter."""
     return """
 WITH banded AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
