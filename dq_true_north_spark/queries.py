@@ -1331,8 +1331,8 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep").cast("int").alias("keep"),
         F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
         "pred_lang",
-        F.round("lang_confidence", 4).alias("lang_confidence"),
-        F.round("perplexity", 2).alias("perplexity"),
+        spec.round4_col(F.col("lang_confidence")).alias("lang_confidence"),
+        spec.round4_col(F.col("perplexity"), 2).alias("perplexity"),
         "scrubbed_text",
     )
 

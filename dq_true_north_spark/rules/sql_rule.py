@@ -14,6 +14,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import constants as C
+from ..textquality.spec import round4_col
 from .base import RuleResult
 
 
@@ -115,7 +116,7 @@ def execute_rolling_average(spark: SparkSession, rule: dict, params: dict, sink)
         *[F.col(k).desc() for k in order_keys]
     )
     out = (
-        df.withColumn("average_value", F.round(F.avg(metric).over(win), 4))
+        df.withColumn("average_value", round4_col(F.avg(metric).over(win)))
         .withColumn("rn", F.row_number().over(latest))
         .filter(F.col("rn") == 1)
         .select(

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
 
 from .. import constants as C
+from .spec import round4_col
 
 DEFAULT_MAX_BUCKET = 64
 
@@ -192,10 +193,9 @@ def minhash_candidate_pairs(
     )
     est = pairs.withColumn(
         "est_jaccard",
-        F.round(
+        round4_col(
             F.size(F.expr("filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)"))
-            / F.lit(C.MINHASH_PERMS),
-            4,
+            / F.lit(C.MINHASH_PERMS)
         ),
     )
     return est.filter(F.col("est_jaccard") >= threshold).select(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import constants as C
+from .spec import round4_col
 
 
 def _dot(a: str, b: str):
@@ -77,7 +78,7 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank",
-            F.round("cosine_sim", 4).alias("cosine_sim"),
+            round4_col(F.col("cosine_sim")).alias("cosine_sim"),
         )
     )
 
@@ -171,7 +172,7 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank",
-            F.round("cosine_sim", 4).alias("cosine_sim"),
+            round4_col(F.col("cosine_sim")).alias("cosine_sim"),
         )
     )
 
@@ -366,6 +367,6 @@ def ann_ivf_topk(
             "query_id",
             F.col("vid").alias("neighbor_id"),
             "rank",
-            F.round("cosine_sim", 4).alias("cosine_sim"),
+            round4_col(F.col("cosine_sim")).alias("cosine_sim"),
         )
     )
