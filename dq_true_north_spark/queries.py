@@ -319,6 +319,42 @@ SELECT doc_id,
 FROM documents"""
 
 
+@sql_query("temperature_resample_documents")
+def q_temperature_resample(d: str) -> str:
+    """Temperature-based language rebalancing (the XLM-R / mC4 mixture
+    trick, alpha = 0.7): target share q_l ∝ p_l^alpha flattens the
+    head-language dominance; each doc keeps with rate_l = min(1,
+    q_l·N/n_l). Membership is a DETERMINISTIC per-doc fraction — Knuth
+    multiplicative hash of doc_id over 2^32 — so the resample is exactly
+    reproducible at any partitioning (same property as
+    deterministic_sample_documents; no rand() state). The rate is
+    floor-round4ed before the comparison so the cut is bit-identical
+    across engines (pow() may differ by an ulp). Scale shape: one
+    groupBy(lang) for the rates (tiny result, broadcast back), one
+    map-side filter — no second shuffle."""
+    return """
+WITH stats AS (
+  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+), weights AS (
+  SELECT lang, n_l,
+         SUM(n_l) OVER () AS total,
+         pow(CAST(n_l AS DOUBLE) / SUM(n_l) OVER (), 0.7) AS w
+  FROM stats
+), rates AS (
+  SELECT lang,
+         (floor((least(
+            w / SUM(w) OVER () * CAST(total AS DOUBLE) / n_l,
+            1.0)) * 1e4 + 0.5) / 1e4) AS keep_rate
+  FROM weights
+)
+SELECT d.doc_id, d.lang, r.keep_rate,
+       CAST(CASE WHEN
+         CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+           < r.keep_rate
+       THEN 1 ELSE 0 END AS INT) AS kept
+FROM documents d JOIN rates r ON d.lang = r.lang"""
+
+
 @sql_query("length_decile_bands")
 def q_length_decile_bands(d: str) -> str:
     """Corpus-calibrated length filtering: decile bands via ntile over the
