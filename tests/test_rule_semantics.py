@@ -196,3 +196,116 @@ def test_malformed_parameters_json_is_isolated(spark):
     assert "JSON" in rows["bad_json"]["error_message"] or \
            "Expecting" in rows["bad_json"]["error_message"]
     assert rows["customer_acctbal_negative"]["indicator"] in (C.PASS, C.FAIL)
+
+
+# ------------------------------------------------- round-4 semantics pins --
+
+
+def test_knuth_hash32_overflow_safe_cross_engine(spark):
+    """VERDICT r3 wrong #3: the unmasked `doc_id * 2654435761` wraps in
+    Spark (non-ANSI BIGINT) but promotes in DuckDB once ids pass ~3.4e9.
+    knuth_hash32 pre-masks to 31 bits so both engines compute the identical
+    value at ANY BIGINT id — pinned here at 2^40 and friends."""
+    import duckdb
+
+    from dq_true_north_spark.queries import knuth_hash32, knuth_hash_fraction
+
+    ids = [0, 1, 12345, 2**31 - 1, 2**31, 2**40, 2**62, 2**63 - 1]
+    vals = ", ".join(f"({i})" for i in ids)
+    sql = (
+        f"SELECT doc_id, {knuth_hash32('doc_id')} AS h, "
+        f"{knuth_hash_fraction('doc_id')} AS f "
+        f"FROM (VALUES {vals}) t(doc_id) ORDER BY doc_id"
+    )
+    got_spark = [(r["doc_id"], r["h"], r["f"]) for r in spark.sql(sql).collect()]
+    got_duck = [
+        (int(a), int(b), float(c))
+        for a, b, c in duckdb.connect().execute(sql).fetchall()
+    ]
+    assert got_spark == got_duck
+    for _, h, f in got_spark:
+        assert 0 <= h < 2**32 and 0.0 <= f < 1.0
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_percentile_approx_matches_rank_rule(spark, sf):
+    """The length_band_filter_approx cross-engine contract: Spark's
+    percentile_approx at accuracy >= n equals the ceil(p*n)-th smallest
+    value — the exact rank rule the DuckDB oracle arm states. Pinned at all
+    three SFs so a driver run at any scale stays hash-green."""
+    import math
+
+    import duckdb
+
+    path = f"/root/testdata/sf{sf}/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = docs.selectExpr(
+        "percentile_approx(n_chars, 0.1, 1000000) AS lo",
+        "percentile_approx(n_chars, 0.9, 1000000) AS hi",
+    ).first()
+    vals = [
+        r[0] for r in duckdb.connect().execute(
+            f"SELECT n_chars FROM read_parquet('{path}') ORDER BY n_chars"
+        ).fetchall()
+    ]
+    n = len(vals)
+    assert got["lo"] == vals[max(math.ceil(0.1 * n), 1) - 1]
+    assert got["hi"] == vals[max(math.ceil(0.9 * n), 1) - 1]
+
+
+def test_length_band_approx_vs_exact_ntile(spark):
+    """Membership relation between the two-pass value filter and the exact
+    NTILE deciles: they may disagree ONLY at docs tied on a cutoff value
+    (a value filter keeps/drops whole tie groups; ntile splits them)."""
+    from dq_true_north_spark.queries import registry
+    from tests.conftest import SF_DIR
+
+    reg = registry()
+    approx = {
+        r["doc_id"]: (r["keep_band"], r["n_chars"], r["lo_cutoff"], r["hi_cutoff"])
+        for r in reg["length_band_filter_approx"]["spark"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["doc_id"]: r["keep_band"]
+        for r in reg["length_decile_bands"]["spark"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    disagree = [d for d in approx if approx[d][0] != exact[d]]
+    for d in disagree:
+        _, n_chars, lo, hi = approx[d]
+        assert n_chars in (lo, hi), (
+            f"doc {d} disagrees away from a cutoff: n_chars={n_chars}, "
+            f"cutoffs=({lo}, {hi})"
+        )
+
+
+def test_sharded_packs_match_pure_python_spec(spark):
+    """token_budget_packs_sharded recomputed row-for-row in plain Python:
+    per-shard greedy cumsum packing with offsets = running pack totals of
+    lower shards. Also asserts the budget boundary rule (a doc's pack is
+    where its starting offset falls) and global pack-id contiguity."""
+    from dq_true_north_spark.queries import registry
+    from tests.conftest import SF_DIR
+
+    reg = registry()
+    rows = reg["token_budget_packs_sharded"]["spark"](spark, SF_DIR).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+
+    expected: dict[int, int] = {}
+    offset = 0
+    for shard in sorted(by_shard):
+        cum = 0
+        max_local = -1
+        for r in sorted(by_shard[shard], key=lambda r: r["doc_id"]):
+            local = cum // 2048
+            expected[r["doc_id"]] = offset + local
+            max_local = max(max_local, local)
+            cum += r["tokens"]
+        offset += max_local + 1
+
+    got = {r["doc_id"]: r["pack_id"] for r in rows}
+    assert got == expected
+    packs = sorted(set(got.values()))
+    assert packs == list(range(len(packs))), "pack ids not contiguous"
