@@ -1465,13 +1465,13 @@ FROM (VALUES
   ('media://bmp',  'passthrough',  'ok',          134),
   ('media://wav',  'passthrough',  'ok',          16044),
   ('media://gif',  'passthrough',  'ok',          106),
-  ('media://png',  'passthrough',  'ok',          33),
+  ('media://png',  'passthrough',  'ok',          193),
   ('media://jpeg', 'passthrough',  'ok',          41),
   ('media://html', 'passthrough',  'ok',          35),
   ('media://bmp',  'resize',       'ok',          78),
   ('media://wav',  'resize',       'unsupported', NULL),
   ('media://gif',  'resize',       'unsupported', NULL),
-  ('media://png',  'resize',       'unsupported', NULL),
+  ('media://png',  'resize',       'ok',          85),
   ('media://jpeg', 'resize',       'unsupported', NULL),
   ('media://html', 'resize',       'unsupported', NULL),
   ('media://bmp',  'frame_sample', 'unsupported', NULL),
@@ -1484,12 +1484,14 @@ FROM (VALUES
 )
 def q_media_transforms_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free media transforms over the frozen sample-media set:
-    BMP pixel resize (decode -> nearest-neighbor -> re-encode), GIF
-    container-level frame sampling (output is a valid 2-frame GIF),
-    passthrough identity; entropy-coded formats honestly 'unsupported'.
-    The oracle is a FROZEN literal table (hand-audited expected outputs,
-    not recomputed) — any behavior drift in the binary paths fails the
-    hash (textquality/multimodal.py)."""
+    BMP and PNG pixel resize (decode -> nearest-neighbor -> re-encode;
+    PNG's deflate entropy coding is stdlib zlib, so its decode is real —
+    round-4 deliberate oracle update: png passthrough 33->193 bytes, png
+    resize unsupported->ok/85), GIF container-level frame sampling (output
+    is a valid 2-frame GIF), passthrough identity; codec-bound formats
+    honestly 'unsupported'. The oracle is a FROZEN literal table
+    (hand-audited expected outputs, not recomputed) — any behavior drift
+    in the binary paths fails the hash (textquality/multimodal.py)."""
     from functools import reduce
 
     from .textquality.multimodal import sample_media_df, transform_media

@@ -4,7 +4,11 @@ The Spark-side machinery (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Everything a public container format lets
 us do WITHOUT a codec library is implemented for real:
 
-  PNG  — IHDR width/height (bytes 16..24, big-endian, PNG spec §11.2.2)
+  PNG  — IHDR width/height (PNG spec §11.2.2); FULL pixel decode for
+         8-bit non-palette images (grayscale/RGB/GA/RGBA, interlace none
+         or Adam7): PNG's entropy coding is zlib deflate and stdlib zlib
+         ships in this container, so inflate + per-scanline unfilter +
+         de-interlace + nearest-neighbor resize + re-encode are real
   GIF  — logical-screen dims (GIF89a §18); frame COUNT and container-level
          frame SAMPLING via a full block walk (§§19-25) — a sampled output
          is a valid GIF holding only the chosen frames + their control
@@ -16,8 +20,8 @@ us do WITHOUT a codec library is implemented for real:
   WAV  — RIFF/WAVE chunk walk; PCM16 sample decode → duration / RMS / peak
          audio features (numpy over the raw samples)
 
-Only ENTROPY-CODED decoding (PNG inflate, JPEG huffman, GIF LZW, lossy
-audio) requires codec libraries this container lacks; those rows get
+Only truly codec-bound decoding (JPEG huffman, GIF LZW-to-pixels, palette/
+16-bit PNG, lossy audio) remains outside the envelope; those rows get
 ``status='unsupported'`` / NULL fields — never fabricated values. Swap
 `_transform_one`'s unsupported arms for PIL/ffmpeg on a cluster with
 codecs; the mapInPandas plumbing, schema and batch shape do not change.
@@ -28,6 +32,7 @@ LLM-training-data operator set (SURVEY.md §2 extension).
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -172,6 +177,168 @@ def _resize_nearest(rgb: np.ndarray, w: int, h: int) -> np.ndarray:
     yi = (np.arange(h) * sh) // h
     xi = (np.arange(w) * sw) // w
     return rgb[yi][:, xi]
+
+
+# ------------------------------------------------------------------ PNG -----
+# PNG's entropy coding is zlib deflate (RFC 1950/1951), and Python's stdlib
+# `zlib` IS in this container — so full pixel decode for 8-bit non-palette
+# PNGs (grayscale / RGB / gray+alpha / RGBA, interlace none or Adam7) needs
+# no external codec at all (VERDICT r3 next #8). Palette and 16-bit variants
+# remain honestly 'unsupported' (per-row isolation), never fabricated.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # color_type -> samples per pixel
+
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step) — PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, h: int, w: int, ch: int) -> tuple[np.ndarray, int]:
+    """Reverse the per-scanline byte filters (PNG spec §9): each line is a
+    filter-type byte + w*ch filtered bytes. Returns ((h, w*ch) uint8, next
+    read position). Filters None/Up/Sub are vectorized (Up is a whole-row
+    wrap-add; Sub is a per-channel prefix sum mod 256); Average and Paeth
+    carry a true sequential dependency along the row and run per pixel —
+    acceptable because rows are short and this executes inside an Arrow
+    batch on executors, not on the driver."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated PNG pixel data")
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else zero
+        if f == 0:                      # None
+            out[y] = line
+        elif f == 1:                    # Sub: prefix sum per channel, mod 256
+            cols = line.reshape(w, ch).astype(np.int64)
+            out[y] = (np.cumsum(cols, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 2:                    # Up: uint8 add wraps mod 256
+            out[y] = line + prev
+        elif f == 3:                    # Average
+            cur = line.astype(np.int64)
+            up = prev.astype(np.int64)
+            row = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                row[x] = (cur[x] + ((left + up[x]) >> 1)) & 0xFF
+            out[y] = row.astype(np.uint8)
+        elif f == 4:                    # Paeth
+            cur = line.astype(np.int64)
+            up = prev.astype(np.int64)
+            row = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0       # left
+                b = up[x]                               # above
+                c = up[x - ch] if x >= ch else 0        # upper-left
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (cur[x] + pred) & 0xFF
+            out[y] = row.astype(np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+    return out, pos
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    """8-bit non-palette PNG → (H, W, 3) uint8 RGB. Pure stdlib-zlib +
+    numpy: chunk walk → concatenated-IDAT inflate → per-scanline unfilter →
+    Adam7 de-interlace when present → channel normalization (gray expanded,
+    alpha dropped). ValueError = malformed stream (status='error');
+    NotImplementedError = a legal variant outside the codec-free envelope
+    (palette / 16-bit → status='unsupported')."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    ihdr = None
+    idat = bytearray()
+    i = 8
+    n = len(blob)
+    while i + 8 <= n:
+        ln = int.from_bytes(blob[i : i + 4], "big")
+        typ = blob[i + 4 : i + 8]
+        if i + 12 + ln > n:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = blob[i + 8 : i + 8 + ln]
+        elif typ == b"IDAT":
+            idat += blob[i + 8 : i + 8 + ln]
+        elif typ == b"IEND":
+            break
+        i += 12 + ln                    # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing PNG IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if (comp != 0 or filt != 0 or interlace > 1 or w <= 0 or h <= 0
+            or depth not in (1, 2, 4, 8, 16) or ctype not in (0, 2, 3, 4, 6)):
+        raise ValueError("malformed PNG IHDR")
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit_depth={depth} color_type={ctype}: outside the "
+            f"codec-free envelope (8-bit grayscale/RGB/GA/RGBA)"
+        )
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    ch = _PNG_CHANNELS[ctype]
+
+    if interlace == 0:
+        flat, pos = _png_unfilter(raw, 0, h, w, ch)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        px = flat.reshape(h, w, ch)
+    else:                               # Adam7: 7 independently-filtered passes
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            flat, pos = _png_unfilter(raw, pos, ph, pw, ch)
+            px[y0::dy, x0::dx] = flat.reshape(ph, pw, ch)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced pixel data length mismatch")
+
+    if ctype == 0:                      # grayscale
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:                      # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]                 # RGB / RGBA (alpha dropped)
+
+
+def _encode_png(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 8-bit truecolor PNG (filter None scanlines,
+    single zlib-deflated IDAT; inverse of _decode_png for RGB input).
+    Deterministic for a fixed stdlib zlib (level pinned)."""
+    h, w, _ = rgb.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])        # 8-bit, truecolor, no interlace
+    )
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+    )
 
 
 def _wav_info(blob: bytes) -> dict | None:
@@ -384,11 +551,15 @@ def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
             h = int(params.get("height", 64))
             if fmt == "bmp":
                 out = _encode_bmp(_resize_nearest(_decode_bmp(blob), w, h))
+            elif fmt == "png":
+                # PNG entropy coding is stdlib zlib — full decode/resize/
+                # re-encode with no external codec (8-bit non-palette)
+                out = _encode_png(_resize_nearest(_decode_png(blob), w, h))
             else:
                 raise NotImplementedError(
                     f"resize to {w}x{h}: pixel decode for {fmt!r} requires "
-                    f"an image codec (none in this container; BMP is the "
-                    f"codec-free path)"
+                    f"an image codec (none in this container; BMP and "
+                    f"8-bit PNG are the codec-free paths)"
                 )
         elif op == "frame_sample":
             n = int(params.get("n_frames", 4))
@@ -528,10 +699,15 @@ def sample_media_rows() -> list[tuple[str, bytes]]:
            + b"\x02" + sub(b"\x44\x01"))
     gif = hdr + (gce + img) * 4 + b"\x3b"
 
-    # PNG and JPEG headers with real dimensions (entropy-coded payloads
-    # truncated — dims parse, pixels rightly unsupported)
-    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
-           + (320).to_bytes(4, "big") + (200).to_bytes(4, "big") + bytes(9))
+    # real 8x5 RGB PNG (zlib IDAT — decode/resize are real for PNG now);
+    # the deterministic gradient makes resize output hand-auditable
+    png_rgb = (np.arange(5 * 8 * 3, dtype=np.uint32) * 7 % 256).astype(
+        np.uint8
+    ).reshape(5, 8, 3)
+    png = _encode_png(png_rgb)
+
+    # JPEG header with real dimensions (huffman payload truncated — dims
+    # parse, pixel decode rightly unsupported without a codec)
     jpeg = (b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF" + bytes(10)
             + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
             + (120).to_bytes(2, "big") + (160).to_bytes(2, "big") + bytes(12))

@@ -623,7 +623,15 @@ def test_bmp_resize_and_wav_features_are_real(spark):
     src = _decode_bmp(dict(sample_media_rows())["media://bmp"])
     assert out.shape == (2, 3, 3)
     assert np.array_equal(out, src[[0, 2]][:, [0, 2, 4]])   # exact NN sample
-    assert resized["media://png"]["status"] == "unsupported"
+    assert resized["media://png"]["status"] == "ok"            # zlib decode
+    from dq_true_north_spark.textquality.multimodal import _decode_png
+
+    png_out = _decode_png(bytes(resized["media://png"]["out_bytes"]))
+    png_src = _decode_png(dict(sample_media_rows())["media://png"])
+    assert png_out.shape == (2, 3, 3)
+    # nearest-neighbor on a 8x5 source at 3x2: rows (0*5)//2,(1*5)//2 and
+    # cols (0*8)//3,(1*8)//3,(2*8)//3
+    assert np.array_equal(png_out, png_src[[0, 2]][:, [0, 2, 5]])
 
     sampled = {r["url"]: r for r in
                transform_media(media, "html", op="frame_sample", n_frames=2).collect()}
