@@ -692,7 +692,9 @@ def q_spike_dip(d: str) -> str:
     """SPIKE/DIP rule (dq_rules_library.py:512-630): per-segment lag(1),
     pct_change guarded by prev IS NOT NULL AND prev != 0
     (dq_rules_library.py:551-556), breach iff |pct| >= threshold (0.50,
-    dq_rules_library.py:538)."""
+    dq_rules_library.py:538). Display columns carry SIGN (dips are
+    negative), so they round half-away-from-zero (spec.round4_signed,
+    ADVICE r3 #3) — identical to round4 for non-negative values."""
     return f"""
 WITH lagged AS (
   SELECT event_type, event_id, ts, value,
@@ -702,9 +704,9 @@ WITH lagged AS (
 )
 SELECT event_type, event_id,
        CAST(ts AS {_str_t(d)}) AS event_ts,
-       (floor((value) * 1e4 + 0.5) / 1e4) AS metric_value,
-       (floor((prev_value) * 1e4 + 0.5) / 1e4) AS previous_metric_value,
-       (floor(((value - prev_value) / prev_value) * 1e4 + 0.5) / 1e4) AS percent_change
+       {spec.round4_signed('value')} AS metric_value,
+       {spec.round4_signed('prev_value')} AS previous_metric_value,
+       {spec.round4_signed('(value - prev_value) / prev_value')} AS percent_change
 FROM lagged
 WHERE prev_value IS NOT NULL AND prev_value <> 0
   AND abs((value - prev_value) / prev_value) >= {C.SPIKE_THRESHOLD}"""
@@ -869,8 +871,8 @@ WITH daily AS (
   FROM daily
 )
 SELECT event_type, CAST(event_date AS {s}) AS event_date,
-    (floor((daily_total) * 1e4 + 0.5) / 1e4) AS daily_total,
-    (floor((avg_value) * 1e4 + 0.5) / 1e4) AS avg_value,
+    {spec.round4_signed('daily_total')} AS daily_total,
+    {spec.round4_signed('avg_value')} AS avg_value,
     (floor((std_value) * 1e4 + 0.5) / 1e4) AS std_value,
     CAST(CASE WHEN std_value IS NOT NULL
               AND abs(daily_total - avg_value) > {C.SIGMA_BAND} * std_value
@@ -903,8 +905,8 @@ WITH daily AS (
   FROM daily
 )
 SELECT event_type, CAST(event_date AS {s}) AS event_date,
-    (floor((daily_total) * 1e4 + 0.5) / 1e4) AS daily_total,
-    (floor((avg_60d) * 1e4 + 0.5) / 1e4) AS avg_60d,
+    {spec.round4_signed('daily_total')} AS daily_total,
+    {spec.round4_signed('avg_60d')} AS avg_60d,
     (floor((std_60d) * 1e4 + 0.5) / 1e4) AS std_60d,
     CASE WHEN daily_total > avg_60d THEN 'Upper Warning Zone'
          ELSE 'Lower Warning Zone' END AS zone

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..textquality.spec import round4_signed_col
 from .base import RuleResult
 
 
@@ -56,14 +57,12 @@ def execute_negative_value_check(spark: SparkSession, rule: dict, params: dict, 
                     "record_id", "record_timestamp", "field_name",
                     # values here are STRICTLY NEGATIVE, where the plain
                     # floor-round4 would flip half-boundaries toward +inf
-                    # (e.g. -0.00005 -> 0.0, losing the sign). Half-AWAY-
-                    # from-zero via signum·floor(|x|·1e4+0.5) matches the
-                    # reference's ROUND display exactly, still without a
-                    # native round() call.
-                    (
-                        F.signum("negative_value")
-                        * (F.floor(F.abs(F.col("negative_value")) * 1e4 + 0.5) / 1e4)
-                    ).alias("negative_value"),
+                    # (e.g. -0.00005 -> 0.0, losing the sign) — the shared
+                    # half-away-from-zero spec (round4_signed_col) matches
+                    # the reference's ROUND display exactly, still without
+                    # a native round() call.
+                    round4_signed_col(F.col("negative_value"))
+                    .alias("negative_value"),
                     F.lit(rule["rule_id"]).alias("rule_id"),
                     F.lit(rule["rule_name"]).alias("rule_name"),
                 ),

@@ -10,7 +10,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import constants as C
-from ..textquality.spec import round4_col
+from ..textquality.spec import round4_col, round4_signed_col
 from .base import RuleResult
 
 
@@ -52,8 +52,11 @@ def execute_sigma_band_check(spark: SparkSession, rule: dict, params: dict, sink
                     F.lit(rule["rule_name"]).alias("rule_name"),
                     (F.to_json(F.struct(*segs)) if segs else F.lit("{}")).alias("segment_values"),
                     F.col("_d").cast("string").alias("event_date"),
-                    round4_col(F.col("daily_total")).alias("metric_value"),
-                    round4_col(F.col("avg_value")).alias("avg_value"),
+                    # metric/avg can be negative -> half-away-from-zero
+                    # (ADVICE r3 #3); stddev is non-negative by definition
+                    # and keeps the default floor-round4 convention
+                    round4_signed_col(F.col("daily_total")).alias("metric_value"),
+                    round4_signed_col(F.col("avg_value")).alias("avg_value"),
                     round4_col(F.col("std_value")).alias("std_value"),
                 ),
                 params.get("details_table", "dq_anomaly_details"),

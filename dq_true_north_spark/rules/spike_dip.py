@@ -13,7 +13,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import constants as C
-from ..textquality.spec import round4_col
+from ..textquality.spec import round4_signed_col
 from .base import RuleResult
 
 
@@ -56,9 +56,12 @@ def execute_spike_dip_check(spark: SparkSession, rule: dict, params: dict, sink)
                     F.lit(rule["rule_name"]).alias("rule_name"),
                     F.col(ts_col).cast("string").alias("event_date"),
                     (F.to_json(F.struct(*segs)) if segs else F.lit("{}")).alias("segment_values"),
-                    round4_col(F.col(metric)).alias("metric_value"),
-                    round4_col(F.col("prev_value")).alias("previous_metric_value"),
-                    round4_col(F.col("percent_change")).alias("percent_change"),
+                    # these display values carry SIGN (dips are negative) —
+                    # half-away-from-zero, not the +inf-biased floor-round4
+                    # (ADVICE r3 #3; same convention as negative_values)
+                    round4_signed_col(F.col(metric)).alias("metric_value"),
+                    round4_signed_col(F.col("prev_value")).alias("previous_metric_value"),
+                    round4_signed_col(F.col("percent_change")).alias("percent_change"),
                 ),
                 params.get("details_table", "dq_details_spike_dip"),
             )

@@ -112,6 +112,30 @@ def round4_col(col, n: int = 4):
     return F.floor(col * float(10**n) + F.lit(0.5)) / float(10**n)
 
 
+def round4_signed(expr: str, n: int = 4) -> str:
+    """Half-AWAY-FROM-ZERO variant for display columns that carry sign
+    (spike/dip percent_change, signed metrics): plain floor-round4 rounds
+    NEGATIVE half-boundaries toward +inf (-0.00005 -> 0.0), losing the
+    sign (ADVICE r3 #3). sign(x)·floor(|x|·10^n + 0.5)/10^n keeps the
+    magnitude rule symmetric around zero and stays bit-identical across
+    Spark SQL / DuckDB / CPython for the same IEEE reasons as round4
+    (sign/abs/floor are exact; the sign·floor product is an exact
+    integer-valued double). For x >= 0 it equals round4 exactly, so it is
+    safe to apply uniformly to a mixed-sign column. Convention: round4
+    (half-toward-+inf) remains the default for NON-NEGATIVE quantities
+    (ratios, fractions, stddevs); sign-carrying display columns use this."""
+    return f"(sign({expr}) * floor(abs({expr}) * 1e{n} + 0.5) / 1e{n})"
+
+
+def round4_signed_col(col, n: int = 4):
+    """Column-side rendering of round4_signed (one definition, two call
+    surfaces — same discipline as round4/round4_col)."""
+    from pyspark.sql import functions as F
+
+    return F.signum(col) * F.floor(F.abs(col) * float(10**n) + F.lit(0.5)) \
+        / float(10**n)
+
+
 def word_ngrams(d: str, words_expr: str, n: int) -> str:
     """Word n-gram array, SAFE for documents with fewer than n words.
 

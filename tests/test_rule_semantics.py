@@ -309,3 +309,31 @@ def test_sharded_packs_match_pure_python_spec(spark):
     assert got == expected
     packs = sorted(set(got.values()))
     assert packs == list(range(len(packs))), "pack ids not contiguous"
+
+
+def test_round4_signed_half_boundaries_cross_engine(spark):
+    """ADVICE r3 #3: sign-carrying display columns round half-AWAY-from-zero
+    — -0.00005 must become -0.0001, not the floor-round4 +inf flip to 0.0 —
+    and the rendering is bit-identical across Spark and DuckDB."""
+    import duckdb
+
+    from dq_true_north_spark.textquality.spec import (
+        round4_signed,
+        round4_signed_col,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [-0.00005, 0.00005, -0.12345, 0.12345, -1.5, 0.0, 2.00005]
+    expected = [-0.0001, 0.0001, -0.1235, 0.1235, -1.5, 0.0, 2.0001]
+
+    vals = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in cases)
+    sql = f"SELECT {round4_signed('x')} AS r FROM (VALUES {vals}) t(x)"
+    got_spark_sql = [r["r"] for r in spark.sql(sql).collect()]
+    got_duck = [float(r[0]) for r in duckdb.connect().execute(sql).fetchall()]
+    df = spark.createDataFrame([(v,) for v in cases], "x double")
+    got_col = [r["r"] for r in
+               df.select(round4_signed_col(F.col("x")).alias("r")).collect()]
+
+    assert got_spark_sql == expected
+    assert got_duck == expected
+    assert got_col == expected
