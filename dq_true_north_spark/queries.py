@@ -1466,19 +1466,19 @@ SELECT url, op, status, CAST(out_byte_len AS BIGINT) AS out_byte_len
 FROM (VALUES
   ('media://bmp',  'passthrough',  'ok',          134),
   ('media://wav',  'passthrough',  'ok',          16044),
-  ('media://gif',  'passthrough',  'ok',          106),
+  ('media://gif',  'passthrough',  'ok',          122),
   ('media://png',  'passthrough',  'ok',          193),
   ('media://jpeg', 'passthrough',  'ok',          41),
   ('media://html', 'passthrough',  'ok',          35),
   ('media://bmp',  'resize',       'ok',          78),
   ('media://wav',  'resize',       'unsupported', NULL),
-  ('media://gif',  'resize',       'unsupported', NULL),
+  ('media://gif',  'resize',       'ok',          42),
   ('media://png',  'resize',       'ok',          85),
   ('media://jpeg', 'resize',       'unsupported', NULL),
   ('media://html', 'resize',       'unsupported', NULL),
   ('media://bmp',  'frame_sample', 'unsupported', NULL),
   ('media://wav',  'frame_sample', 'unsupported', NULL),
-  ('media://gif',  'frame_sample', 'ok',          60),
+  ('media://gif',  'frame_sample', 'ok',          74),
   ('media://png',  'frame_sample', 'unsupported', NULL),
   ('media://jpeg', 'frame_sample', 'unsupported', NULL),
   ('media://html', 'frame_sample', 'unsupported', NULL)
@@ -1486,14 +1486,17 @@ FROM (VALUES
 )
 def q_media_transforms_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free media transforms over the frozen sample-media set:
-    BMP and PNG pixel resize (decode -> nearest-neighbor -> re-encode;
-    PNG's deflate entropy coding is stdlib zlib, so its decode is real —
-    round-4 deliberate oracle update: png passthrough 33->193 bytes, png
-    resize unsupported->ok/85), GIF container-level frame sampling (output
-    is a valid 2-frame GIF), passthrough identity; codec-bound formats
-    honestly 'unsupported'. The oracle is a FROZEN literal table
-    (hand-audited expected outputs, not recomputed) — any behavior drift
-    in the binary paths fails the hash (textquality/multimodal.py)."""
+    BMP, PNG and GIF pixel resize (decode -> nearest-neighbor -> re-encode;
+    PNG's deflate entropy coding is stdlib zlib and GIF's LZW is
+    implemented outright, so both decodes are real — round-4 deliberate
+    oracle updates: png passthrough 33->193 / resize ->ok/85, gif
+    passthrough 106->122 (sample now carries real LZW pixels) /
+    frame_sample 60->74 / resize ->ok/42), GIF container-level frame
+    sampling (output is a valid 2-frame GIF), passthrough identity;
+    codec-bound formats (JPEG huffman, lossy audio) honestly
+    'unsupported'. The oracle is a FROZEN literal table (hand-audited
+    expected outputs, not recomputed) — any behavior drift in the binary
+    paths fails the hash (textquality/multimodal.py)."""
     from functools import reduce
 
     from .textquality.multimodal import sample_media_df, transform_media

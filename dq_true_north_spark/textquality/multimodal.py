@@ -464,6 +464,233 @@ def _gif_sample_frames(blob: bytes, n_frames: int) -> bytes:
     return bytes(out)
 
 
+# -------------------------------------------------------------- GIF LZW -----
+# GIF's entropy coding is variable-width LZW (GIF89a appendix F) — a pure
+# dictionary coder that needs no codec library at all, just careful
+# bit-packing. Decode AND encode are implemented, so GIF pixel decode and
+# resize are real (round 4; the same move as PNG/zlib). Width alignment is
+# the classic deferred-bump contract: the DECODER widens after its table
+# reaches 2^width; the ENCODER widens before emitting once next_code
+# exceeds 2^width — one code later than naive, because the decoder
+# reconstructs each dictionary entry one code behind the encoder.
+
+_GIF_MAX_CODE = 4096                     # 12-bit dictionary cap (appendix F)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """Variable-width LSB-first LZW → pixel index list. Raises ValueError
+    on malformed streams (bad codes, truncation before END)."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"invalid LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    roots: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+
+    table = list(roots)
+    width = min_code_size + 1
+    acc = bits = pos = 0
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    n = len(data)
+    while True:
+        while bits < width:
+            if pos >= n:
+                raise ValueError("LZW stream truncated before END code")
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = list(roots)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:                 # first code after a clear: a root
+            if code >= clear:
+                raise ValueError(f"LZW: non-root first code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):         # the KwKwK case
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"LZW: code {code} beyond table size {len(table)}")
+        out.extend(entry)
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Pixel indices → GIF LZW stream (real dictionary compression, not the
+    literal-only 'uncompressed GIF' trick). Width alignment MIRRORS the
+    decoder exactly: the decoder grows its table by one entry for every
+    data code after the first-since-clear (including the encoder's final
+    flush code, which adds nothing encoder-side — the subtle desync a
+    naive next_code>2^width rule hits at flush), bumping width when the
+    table reaches 2^width; emit_data tracks that length. Table reset via
+    CLEAR when the 12-bit dictionary fills. Inverse of _gif_lzw_decode by
+    construction (round-trip + independent-reference-decoder tested)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = bits = 0
+    width = min_code_size + 1
+    next_code = end + 1                  # encoder-side code assignment
+    dec_len = clear + 2                  # DECODER's table length, mirrored
+    first_since_clear = True
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    def emit_data(code: int) -> None:
+        """Emit at the decoder's current width, then advance the mirrored
+        decoder table/width state for the next code."""
+        nonlocal dec_len, first_since_clear, width
+        emit(code)
+        if first_since_clear:
+            first_since_clear = False
+        elif dec_len < _GIF_MAX_CODE:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+
+    def reset() -> None:
+        nonlocal table, next_code, dec_len, first_since_clear, width
+        emit(clear)
+        table = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        dec_len = clear + 2
+        first_since_clear = True
+        width = min_code_size + 1
+
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        k = int(k)
+        if not 0 <= k < clear:
+            raise ValueError(f"pixel index {k} exceeds palette ({clear})")
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit_data(table[w])
+        if next_code < _GIF_MAX_CODE:
+            table[wk] = next_code
+            next_code += 1
+        else:                            # dictionary full: reset via CLEAR
+            reset()
+        w = (k,)
+    if w:
+        emit_data(table[w])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(payload: bytes) -> bytes:
+    """Wrap a raw byte stream into <=255-byte GIF data sub-blocks."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        part = payload[i : i + 255]
+        out.append(len(part))
+        out += part
+    out.append(0)
+    return bytes(out)
+
+
+def _decode_gif_frame0(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """First frame of a GIF → (indices (h, w) uint8, palette (n, 3) uint8).
+    Full LZW decode + interlace reordering; the frame is decoded in its OWN
+    descriptor geometry with its effective (local-else-global) color table.
+    Multi-frame composition (disposal/transparency overlay onto the logical
+    screen) is out of scope for feature extraction — frame 0 of a conformant
+    GIF covers the screen. ValueError on malformed streams."""
+    scan = _gif_frame_segments(blob)
+    if scan is None:
+        raise ValueError("malformed or truncated GIF stream")
+    _, segments = scan
+
+    gpal = None
+    packed = blob[10]
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gpal = np.frombuffer(blob, np.uint8, size * 3, 13).reshape(size, 3)
+
+    _, desc, seg_end = segments[0]
+    w = int.from_bytes(blob[desc + 5 : desc + 7], "little")
+    h = int.from_bytes(blob[desc + 7 : desc + 9], "little")
+    flags = blob[desc + 9]
+    i = desc + 10
+    pal = gpal
+    if flags & 0x80:                     # local color table
+        size = 2 << (flags & 0x07)
+        pal = np.frombuffer(blob, np.uint8, size * 3, i).reshape(size, 3)
+        i += size * 3
+    if pal is None:
+        raise ValueError("GIF frame has no color table")
+    if w <= 0 or h <= 0:
+        raise ValueError("empty GIF frame")
+
+    min_code = blob[i]
+    i += 1
+    data = bytearray()                   # concatenate the LZW sub-blocks
+    while i < seg_end and blob[i] != 0:
+        ln = blob[i]
+        data += blob[i + 1 : i + 1 + ln]
+        i += 1 + ln
+
+    idx = _gif_lzw_decode(bytes(data), min_code)
+    if len(idx) < w * h:
+        raise ValueError(f"GIF pixel data short: {len(idx)} < {w * h}")
+    px = np.array(idx[: w * h], dtype=np.uint8).reshape(h, w)
+    if int(px.max(initial=0)) >= len(pal):
+        raise ValueError("GIF pixel index beyond color table")
+    if flags & 0x40:                     # interlaced row order (§20)
+        rows = np.concatenate([
+            np.arange(0, h, 8), np.arange(4, h, 8),
+            np.arange(2, h, 4), np.arange(1, h, 2),
+        ])
+        ordered = np.empty_like(px)
+        ordered[rows] = px
+        px = ordered
+    return px, pal
+
+
+def _encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 indices + (n, 3) palette → single-frame GIF89a (global
+    color table padded to a power of two, real LZW data). Inverse of
+    _decode_gif_frame0 for single-frame input."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())  # GIF minimum table size is 4
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    header = (
+        b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), 0, 0]) + pal.tobytes()
+    )
+    desc = (b"\x2c" + bytes(4) + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little") + b"\x00")
+    lzw = _gif_lzw_encode(indices.reshape(-1), bits)
+    return header + desc + bytes([bits]) + _gif_subblocks(lzw) + b"\x3b"
+
+
 def _decode_frames(fmt: str, blob: bytes):
     """Frame metadata — still-image formats are single-frame by definition;
     GIF frame counts come from the codec-free block walk above. Compressed
@@ -555,11 +782,19 @@ def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
                 # PNG entropy coding is stdlib zlib — full decode/resize/
                 # re-encode with no external codec (8-bit non-palette)
                 out = _encode_png(_resize_nearest(_decode_png(blob), w, h))
+            elif fmt == "gif":
+                # GIF entropy coding is LZW — implemented here outright
+                # (decode + encode), so resize is real: frame-0 indices are
+                # nearest-neighbor sampled and re-encoded with the SAME
+                # color table (sampling picks existing pixels, so no
+                # quantization is ever needed)
+                idx, pal = _decode_gif_frame0(blob)
+                out = _encode_gif(_resize_nearest(idx, w, h), pal)
             else:
                 raise NotImplementedError(
                     f"resize to {w}x{h}: pixel decode for {fmt!r} requires "
-                    f"an image codec (none in this container; BMP and "
-                    f"8-bit PNG are the codec-free paths)"
+                    f"an image codec (none in this container; BMP, 8-bit "
+                    f"PNG and GIF are the codec-free paths)"
                 )
         elif op == "frame_sample":
             n = int(params.get("n_frames", 4))
@@ -691,13 +926,23 @@ def sample_media_rows() -> list[tuple[str, bytes]]:
         + b"data" + len(data).to_bytes(4, "little") + data
     )
 
-    # 4-frame 3x2 GIF (header + 4 x [graphics-control ext + descriptor])
+    # 4-frame 3x2 GIF with REAL LZW pixel data (frame f = pattern f, a
+    # 4-color global palette): frame count, sampling, dims AND pixel decode
+    # are all exercised against known pixels
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
     hdr = (b"GIF89a" + (3).to_bytes(2, "little") + (2).to_bytes(2, "little")
-           + bytes([0x00, 0, 0]))
+           + bytes([0x80 | 1, 0, 0]) + pal.tobytes())   # 4-entry GCT
     gce = b"\x21\xf9" + sub(b"\x00\x00\x00\x00")
-    img = (b"\x2c" + bytes([0, 0, 0, 0, 3, 0, 2, 0, 0x00])
-           + b"\x02" + sub(b"\x44\x01"))
-    gif = hdr + (gce + img) * 4 + b"\x3b"
+    frames = b""
+    for f in range(4):
+        idx = (np.arange(6, dtype=np.uint8) + f) % 4
+        frames += (
+            gce + b"\x2c" + bytes([0, 0, 0, 0, 3, 0, 2, 0, 0x00])
+            + b"\x02" + sub(_gif_lzw_encode(idx, 2))
+        )
+    gif = hdr + frames + b"\x3b"
 
     # real 8x5 RGB PNG (zlib IDAT — decode/resize are real for PNG now);
     # the deterministic gradient makes resize output hand-auditable

@@ -639,6 +639,16 @@ def test_bmp_resize_and_wav_features_are_real(spark):
     # cols (0*8)//3,(1*8)//3,(2*8)//3
     assert np.array_equal(png_out, png_src[[0, 2]][:, [0, 2, 5]])
 
+    assert resized["media://gif"]["status"] == "ok"            # LZW decode
+    from dq_true_north_spark.textquality.multimodal import _decode_gif_frame0
+
+    gif_idx, gif_pal = _decode_gif_frame0(
+        bytes(resized["media://gif"]["out_bytes"])
+    )
+    gif_src, _ = _decode_gif_frame0(dict(sample_media_rows())["media://gif"])
+    assert gif_idx.shape == (2, 3)
+    assert np.array_equal(gif_idx, gif_src[[0, 1]][:, [0, 1, 2]])
+
     sampled = {r["url"]: r for r in
                transform_media(media, "html", op="frame_sample", n_frames=2).collect()}
     gif_out = bytes(sampled["media://gif"]["out_bytes"])
