@@ -1468,13 +1468,13 @@ FROM (VALUES
   ('media://wav',  'passthrough',  'ok',          16044),
   ('media://gif',  'passthrough',  'ok',          122),
   ('media://png',  'passthrough',  'ok',          193),
-  ('media://jpeg', 'passthrough',  'ok',          41),
+  ('media://jpeg', 'passthrough',  'ok',          640),
   ('media://html', 'passthrough',  'ok',          35),
   ('media://bmp',  'resize',       'ok',          78),
   ('media://wav',  'resize',       'unsupported', NULL),
   ('media://gif',  'resize',       'ok',          42),
   ('media://png',  'resize',       'ok',          85),
-  ('media://jpeg', 'resize',       'unsupported', NULL),
+  ('media://jpeg', 'resize',       'ok',          659),
   ('media://html', 'resize',       'unsupported', NULL),
   ('media://bmp',  'frame_sample', 'unsupported', NULL),
   ('media://wav',  'frame_sample', 'unsupported', NULL),
@@ -1485,18 +1485,18 @@ FROM (VALUES
 ) t(url, op, status, out_byte_len)""",
 )
 def q_media_transforms_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec-free media transforms over the frozen sample-media set:
-    BMP, PNG and GIF pixel resize (decode -> nearest-neighbor -> re-encode;
-    PNG's deflate entropy coding is stdlib zlib and GIF's LZW is
-    implemented outright, so both decodes are real — round-4 deliberate
-    oracle updates: png passthrough 33->193 / resize ->ok/85, gif
-    passthrough 106->122 (sample now carries real LZW pixels) /
-    frame_sample 60->74 / resize ->ok/42), GIF container-level frame
-    sampling (output is a valid 2-frame GIF), passthrough identity;
-    codec-bound formats (JPEG huffman, lossy audio) honestly
+    """Media transforms over the frozen sample-media set — every image
+    format's pixel path is now REAL: BMP (raw bytes), PNG (stdlib-zlib
+    inflate + unfilter), GIF (LZW implemented outright) and baseline JPEG
+    (huffman + DCT in pure numpy, textquality/jpeg.py) all decode ->
+    nearest-neighbor resize -> re-encode. Round-4 deliberate frozen-oracle
+    updates: png 33->193 / resize ok/85; gif 106->122 (real LZW pixels) /
+    frame_sample 60->74 / resize ok/42; jpeg 41->640 (real baseline
+    stream) / resize ok/659. GIF container-level frame sampling emits a
+    valid 2-frame GIF; WAV resize and non-GIF frame_sample stay honestly
     'unsupported'. The oracle is a FROZEN literal table (hand-audited
     expected outputs, not recomputed) — any behavior drift in the binary
-    paths fails the hash (textquality/multimodal.py)."""
+    paths fails the hash."""
     from functools import reduce
 
     from .textquality.multimodal import sample_media_df, transform_media

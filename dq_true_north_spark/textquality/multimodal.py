@@ -12,18 +12,23 @@ us do WITHOUT a codec library is implemented for real:
   GIF  — logical-screen dims (GIF89a §18); frame COUNT and container-level
          frame SAMPLING via a full block walk (§§19-25) — a sampled output
          is a valid GIF holding only the chosen frames + their control
-         extensions (no LZW decode needed)
-  JPEG — SOFn frame header scan (ITU T.81 §B.2.2) for height/width
+         extensions; FULL frame-0 pixel decode + resize via the
+         variable-width LZW codec implemented below (decode AND encode)
+  JPEG — SOFn frame header scan (ITU T.81 §B.2.2) for height/width; FULL
+         baseline pixel decode + resize via the huffman+DCT codec in
+         textquality/jpeg.py (pure numpy; progressive/arithmetic streams
+         classify 'unsupported')
   BMP  — BITMAPINFOHEADER dims; FULL pixel decode + nearest-neighbor
          resize + re-encode for uncompressed BI_RGB 24/32-bit (pure numpy
          byte math — no codec exists or is needed)
   WAV  — RIFF/WAVE chunk walk; PCM16 sample decode → duration / RMS / peak
          audio features (numpy over the raw samples)
 
-Only truly codec-bound decoding (JPEG huffman, GIF LZW-to-pixels, palette/
-16-bit PNG, lossy audio) remains outside the envelope; those rows get
-``status='unsupported'`` / NULL fields — never fabricated values. Swap
-`_transform_one`'s unsupported arms for PIL/ffmpeg on a cluster with
+Every image format's entropy coding is thus handled in-repo (PNG deflate =
+stdlib zlib; GIF LZW and baseline JPEG huffman implemented outright); only
+genuinely out-of-envelope variants (palette/16-bit PNG, progressive JPEG,
+lossy audio, compressed video) get ``status='unsupported'`` / NULL fields —
+never fabricated values. Swap those arms for PIL/ffmpeg on a cluster with
 codecs; the mapInPandas plumbing, schema and batch shape do not change.
 
 Reference analog: none — the reference is tabular-only; this is part of the
@@ -790,11 +795,20 @@ def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
                 # quantization is ever needed)
                 idx, pal = _decode_gif_frame0(blob)
                 out = _encode_gif(_resize_nearest(idx, w, h), pal)
+            elif fmt == "jpeg":
+                # baseline JPEG huffman+DCT implemented in textquality.jpeg
+                # (pure numpy); progressive/arithmetic raise there and land
+                # as 'unsupported'
+                from .jpeg import decode_jpeg, encode_jpeg
+
+                out = encode_jpeg(
+                    _resize_nearest(decode_jpeg(blob), w, h), quality=90
+                )
             else:
                 raise NotImplementedError(
                     f"resize to {w}x{h}: pixel decode for {fmt!r} requires "
-                    f"an image codec (none in this container; BMP, 8-bit "
-                    f"PNG and GIF are the codec-free paths)"
+                    f"a codec this container lacks (BMP, 8-bit PNG, GIF "
+                    f"and baseline JPEG are the implemented paths)"
                 )
         elif op == "frame_sample":
             n = int(params.get("n_frames", 4))
@@ -951,11 +965,14 @@ def sample_media_rows() -> list[tuple[str, bytes]]:
     ).reshape(5, 8, 3)
     png = _encode_png(png_rgb)
 
-    # JPEG header with real dimensions (huffman payload truncated — dims
-    # parse, pixel decode rightly unsupported without a codec)
-    jpeg = (b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF" + bytes(10)
-            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
-            + (120).to_bytes(2, "big") + (160).to_bytes(2, "big") + bytes(12))
+    # real baseline JPEG (textquality.jpeg): a 16x8 two-tone field encoded
+    # at quality 90 — dims parse AND pixel decode/resize are real
+    from .jpeg import encode_jpeg
+
+    jpeg_rgb = np.zeros((8, 16, 3), dtype=np.uint8)
+    jpeg_rgb[:, :8] = (200, 60, 60)
+    jpeg_rgb[:, 8:] = (60, 60, 200)
+    jpeg = encode_jpeg(jpeg_rgb, quality=90)
 
     html = b"<html><body>not media</body></html>"
     return [
