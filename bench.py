@@ -115,11 +115,16 @@ def main() -> None:
     docs_per_sec = round(n / dt_warm, 1)
 
     # min-of-2 per query: sandbox timings swing far more than real deltas
-    # (observed 2s→16s spikes on an idle query); the min is the signal
+    # (observed 2s→16s spikes on an idle query); the min is the signal.
+    # Between queries, request a JVM GC — without it, query N pays query
+    # N-1's garbage (r3's embedding_near_dup 6.3s and an 18s spike in a
+    # pre-fix r4 run both reproduced only with a dirty heap; a fresh JVM
+    # runs the same plan in ~2.5s)
     for name in HEADLINE_QUERIES:
         fn = reg[name]["spark"]
         best = None
         for _ in range(2):
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             dt = time.perf_counter() - t0

@@ -529,9 +529,10 @@ def q_length_decile_bands(d: str) -> str:
 
     Scale note: a global-ORDER-BY window funnels through one reducer —
     fine at monitor scale, not at 10^12 docs. The at-scale variant is
-    two-pass: approx_percentile the 10/90 cutoffs (one partial-agg scan,
-    see doc_length_quantiles), broadcast them back as a literal filter.
-    This exact-ntile form is the oracle-checkable spec of that filter."""
+    IMPLEMENTED as length_band_filter_approx (two-pass percentile_approx
+    cutoffs + map-side filter, its own oracle-checked entry); this
+    exact-ntile form is the oracle-checkable spec the approx form is
+    tested against (tests/test_rule_semantics.py)."""
     return """
 WITH banded AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
