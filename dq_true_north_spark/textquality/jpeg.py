@@ -294,6 +294,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cs = seg[1 + c * 2]
                 tables = seg[2 + c * 2]
                 scan.append((cs, tables >> 4, tables & 0x0F))
+            if len(scan) != len(sof[2]):
+                # T.81 permits baseline NON-interleaved files (one scan per
+                # component) — a legal variant this decoder doesn't cover,
+                # not a malformed stream
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG"
+                )
             return _decode_scan(
                 blob, i + 2 + ln, sof, scan, qt, huff, restart_interval
             )

@@ -126,18 +126,45 @@ def test_encode_decode_roundtrip():
     assert np.array_equal(_decode_png(_encode_png(rgb)), rgb)
 
 
+def test_palette_png_decodes_via_plte():
+    """8-bit palette PNG (color type 3): scanlines carry indices, PLTE
+    carries the colors — a lookup, not a codec. Built with an explicit
+    PLTE chunk inserted before IDAT."""
+    pal = np.array([[250, 10, 20], [30, 240, 50], [60, 70, 230], [5, 5, 5]],
+                   dtype=np.uint8)
+    idx = [[0, 1, 2], [3, 2, 1]]
+    raw = _forward_filter([r[:] for r in idx], 1, lambda y: y % 5)
+    blob = _mk_png(3, 2, 8, 3, 0, raw)
+    plte = ((12).to_bytes(4, "big") + b"PLTE" + pal.tobytes()
+            + (zlib.crc32(b"PLTE" + pal.tobytes()) & 0xFFFFFFFF)
+            .to_bytes(4, "big"))
+    i = blob.find(b"IDAT") - 4
+    blob = blob[:i] + plte + blob[i:]
+    assert np.array_equal(_decode_png(blob), pal[np.array(idx)])
+    # index beyond the palette is malformed, not a variant
+    bad = _mk_png(3, 2, 8, 3, 0,
+                  _forward_filter([[9, 9, 9], [9, 9, 9]], 1, lambda y: 0))
+    bad = bad[:bad.find(b"IDAT") - 4] + plte + bad[bad.find(b"IDAT") - 4:]
+    assert _transform_one("u", bad, "resize", {"width": 1, "height": 1})[4] \
+        == "error"
+
+
 def test_unsupported_variants_vs_malformed():
-    """Per-row isolation contract: legal-but-codec-bound variants (palette,
-    16-bit) classify 'unsupported'; broken streams classify 'error' —
-    never a task failure, never fabricated pixels."""
+    """Per-row isolation contract: legal-but-out-of-envelope variants
+    (16-bit, palette without sub-8 support) classify 'unsupported'; broken
+    streams classify 'error' — never a task failure, never fabricated
+    pixels."""
     px = _rand_px(2, 2, 3, seed=1)
     good = _mk_png(2, 2, 8, 2, 0, _forward_filter(px, 3, lambda y: 0))
 
-    palette = _mk_png(2, 2, 8, 3, 0, b"\x00\x00\x00")
+    palette_no_plte = _mk_png(2, 2, 8, 3, 0, b"\x00\x00\x00")
     sixteen = _mk_png(2, 2, 16, 2, 0, b"\x00" * 26)
-    assert _transform_one("u", palette, "resize", {"width": 1, "height": 1})[4] \
-        == "unsupported"
+    four_bit = _mk_png(2, 2, 4, 3, 0, b"\x00\x00\x00")
+    assert _transform_one("u", palette_no_plte, "resize",
+                          {"width": 1, "height": 1})[4] == "error"
     assert _transform_one("u", sixteen, "resize", {"width": 1, "height": 1})[4] \
+        == "unsupported"
+    assert _transform_one("u", four_bit, "resize", {"width": 1, "height": 1})[4] \
         == "unsupported"
 
     truncated = good[: len(good) - 20]

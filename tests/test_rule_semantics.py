@@ -208,23 +208,47 @@ def test_knuth_hash32_overflow_safe_cross_engine(spark):
     value at ANY BIGINT id — pinned here at 2^40 and friends."""
     import duckdb
 
-    from dq_true_north_spark.queries import knuth_hash32, knuth_hash_fraction
+    from dq_true_north_spark.queries import (
+        knuth_bucket,
+        knuth_hash32,
+        knuth_hash_fraction,
+    )
 
-    ids = [0, 1, 12345, 2**31 - 1, 2**31, 2**40, 2**62, 2**63 - 1]
+    ids = [0, 1, 12345, 2**31 - 1, 2**31, 2**40, 2**62, 2**63 - 1,
+           -1, -12345, -(2**40)]     # negative ids must hash NON-negative
     vals = ", ".join(f"({i})" for i in ids)
     sql = (
         f"SELECT doc_id, {knuth_hash32('doc_id')} AS h, "
-        f"{knuth_hash_fraction('doc_id')} AS f "
+        f"{knuth_hash_fraction('doc_id')} AS f, "
+        f"{knuth_bucket('doc_id', 16)} AS b "
         f"FROM (VALUES {vals}) t(doc_id) ORDER BY doc_id"
     )
-    got_spark = [(r["doc_id"], r["h"], r["f"]) for r in spark.sql(sql).collect()]
+    got_spark = [(r["doc_id"], r["h"], r["f"], r["b"])
+                 for r in spark.sql(sql).collect()]
     got_duck = [
-        (int(a), int(b), float(c))
-        for a, b, c in duckdb.connect().execute(sql).fetchall()
+        (int(a), int(b), float(c), int(d))
+        for a, b, c, d in duckdb.connect().execute(sql).fetchall()
     ]
     assert got_spark == got_duck
-    for _, h, f in got_spark:
-        assert 0 <= h < 2**32 and 0.0 <= f < 1.0
+    for _, h, f, b in got_spark:
+        assert 0 <= h < 2**32 and 0.0 <= f < 1.0 and 0 <= b < 16
+
+
+def test_knuth_bucket_mixes_strided_ids(spark):
+    """`knuth_hash32 % 16` was the id's own low 4 bits (2654435761 is odd,
+    so the multiply is the identity mod 2^k) — a strided id allocator
+    (all ids multiples of 16) collapsed every row into shard 0, silently
+    re-funneling the sharded pack window into one reducer. knuth_bucket
+    takes HIGH bits; strided ids must spread across buckets."""
+    from dq_true_north_spark.queries import knuth_bucket
+
+    vals = ", ".join(f"({i * 16})" for i in range(256))
+    rows = spark.sql(
+        f"SELECT {knuth_bucket('doc_id', 16)} AS b "
+        f"FROM (VALUES {vals}) t(doc_id)"
+    ).collect()
+    buckets = {r["b"] for r in rows}
+    assert len(buckets) >= 12, f"strided ids hit only buckets {sorted(buckets)}"
 
 
 @pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
@@ -307,8 +331,11 @@ def test_sharded_packs_match_pure_python_spec(spark):
 
     got = {r["doc_id"]: r["pack_id"] for r in rows}
     assert got == expected
-    packs = sorted(set(got.values()))
-    assert packs == list(range(len(packs))), "pack ids not contiguous"
+    # NOTE: no global-contiguity assertion — a document spanning more than
+    # one 2048-token budget legitimately skips pack ids (floor(before /
+    # budget) boundary rule), so contiguity is a property of THIS data,
+    # not of the query. The row-for-row spec recompute above reproduces
+    # any gaps identically.
 
 
 def test_round4_signed_half_boundaries_cross_engine(spark):
