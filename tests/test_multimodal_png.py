@@ -149,24 +149,57 @@ def test_palette_png_decodes_via_plte():
         == "error"
 
 
-def test_unsupported_variants_vs_malformed():
-    """Per-row isolation contract: legal-but-out-of-envelope variants
-    (16-bit, palette without sub-8 support) classify 'unsupported'; broken
-    streams classify 'error' — never a task failure, never fabricated
-    pixels."""
+def test_sixteen_bit_png_msb_reduction():
+    """16-bit samples reduce to their most-significant byte (the standard
+    presentation conversion, spec §13.12). Fixture built with explicit
+    16-bit big-endian sample bytes."""
+    # 2x2 RGB, 16-bit: each sample = (msb, lsb); lsb must be dropped
+    rows = [
+        [0x12, 0xFF, 0x34, 0x00, 0x56, 0xAB,   0x78, 0x01, 0x9A, 0x02, 0xBC, 0x03],
+        [0x00, 0x99, 0xFF, 0x99, 0x80, 0x99,   0x11, 0x00, 0x22, 0x00, 0x33, 0x00],
+    ]
+    blob = _mk_png(2, 2, 16, 2, 0, _forward_filter(rows, 6, lambda y: y % 5))
+    got = _decode_png(blob)
+    exp = np.array([[[0x12, 0x34, 0x56], [0x78, 0x9A, 0xBC]],
+                    [[0x00, 0xFF, 0x80], [0x11, 0x22, 0x33]]], dtype=np.uint8)
+    assert np.array_equal(got, exp)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub8_grayscale_unpacks_and_scales(depth):
+    """1/2/4-bit grayscale: MSB-first bit unpacking, then full-range
+    scaling v*255/(2^d-1). Fixture packs the bits by hand."""
+    w, h = 5, 3
+    maxv = (1 << depth) - 1
+    vals = [[(x + y) % (maxv + 1) for x in range(w)] for y in range(h)]
+    rows = []
+    for r in vals:
+        bits = "".join(format(v, f"0{depth}b") for v in r)
+        bits += "0" * (-len(bits) % 8)
+        rows.append([int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)])
+    blob = _mk_png(w, h, depth, 0, 0, _forward_filter(rows, 1, lambda y: 0))
+    got = _decode_png(blob)
+    exp = np.repeat(
+        (np.array(vals, dtype=np.uint16) * 255 // maxv)
+        .astype(np.uint8)[:, :, None], 3, axis=2,
+    )
+    assert np.array_equal(got, exp)
+
+
+def test_malformed_png_classification():
+    """Per-row isolation contract: PNG decode is now COMPLETE over the
+    legal depth/color-type matrix, so the only non-ok outcomes are
+    malformed streams — including the spec's ILLEGAL combos (4-bit RGB,
+    16-bit palette) and a palette image without PLTE."""
+    palette_no_plte = _mk_png(2, 2, 8, 3, 0, b"\x00\x00\x00")
+    four_bit_rgb = _mk_png(2, 2, 4, 2, 0, b"\x00\x00\x00")     # illegal combo
+    sixteen_palette = _mk_png(2, 2, 16, 3, 0, b"\x00" * 10)    # illegal combo
+    for blob in (palette_no_plte, four_bit_rgb, sixteen_palette):
+        assert _transform_one("u", blob, "resize",
+                              {"width": 1, "height": 1})[4] == "error"
+
     px = _rand_px(2, 2, 3, seed=1)
     good = _mk_png(2, 2, 8, 2, 0, _forward_filter(px, 3, lambda y: 0))
-
-    palette_no_plte = _mk_png(2, 2, 8, 3, 0, b"\x00\x00\x00")
-    sixteen = _mk_png(2, 2, 16, 2, 0, b"\x00" * 26)
-    four_bit = _mk_png(2, 2, 4, 3, 0, b"\x00\x00\x00")
-    assert _transform_one("u", palette_no_plte, "resize",
-                          {"width": 1, "height": 1})[4] == "error"
-    assert _transform_one("u", sixteen, "resize", {"width": 1, "height": 1})[4] \
-        == "unsupported"
-    assert _transform_one("u", four_bit, "resize", {"width": 1, "height": 1})[4] \
-        == "unsupported"
-
     truncated = good[: len(good) - 20]
     assert _transform_one("u", truncated, "resize", {"width": 1, "height": 1})[4] \
         == "error"
