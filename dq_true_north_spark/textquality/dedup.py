@@ -415,7 +415,14 @@ def star_contract_clusters(pairs: DataFrame, max_rounds: int = 20,
     moved = -1   # bound even when max_rounds <= 0
     for rnd in range(max_rounds):
         new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        moved = new.subtract(edges).count() + edges.subtract(new).count()
+        # symmetric-difference size in ONE job: both frames are distinct
+        # sets, so a row in exactly one of them groups to count 1 (two
+        # subtract().count() actions doubled the per-round job cost — at
+        # toy sizes the scheduler, not data, dominates each round)
+        moved = (
+            new.union(edges).groupBy("hi", "lo").count()
+            .filter(F.col("count") == 1).count()
+        )
         edges = new
         if moved == 0:
             if stats is not None:
