@@ -66,3 +66,13 @@ def test_star_clusters_not_registered():
     """Star contraction is evidenced by algorithm-equality tests + the bench
     chain entry, not by a second (identical-output) registry row."""
     assert "near_dup_clusters_star_pages" not in Q.registry()
+
+
+def test_bench_headline_queries_are_registered():
+    """bench.py times registry entries by name — a rename/demotion must
+    fail here, not in the driver's per-round bench run."""
+    import bench
+
+    reg = set(Q.registry())
+    missing = [n for n in bench.HEADLINE_QUERIES if n not in reg]
+    assert not missing, f"bench names not in registry: {missing}"
