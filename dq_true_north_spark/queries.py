@@ -1518,7 +1518,13 @@ FROM (VALUES
   ('media://gif',  'frame_sample', 'ok',          74),
   ('media://png',  'frame_sample', 'unsupported', NULL),
   ('media://jpeg', 'frame_sample', 'unsupported', NULL),
-  ('media://html', 'frame_sample', 'unsupported', NULL)
+  ('media://html', 'frame_sample', 'unsupported', NULL),
+  ('media://bmp',  'resample',     'unsupported', NULL),
+  ('media://wav',  'resample',     'ok',          8044),
+  ('media://gif',  'resample',     'unsupported', NULL),
+  ('media://png',  'resample',     'unsupported', NULL),
+  ('media://jpeg', 'resample',     'unsupported', NULL),
+  ('media://html', 'resample',     'unsupported', NULL)
 ) t(url, op, status, out_byte_len)""",
 )
 def q_media_transforms_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,11 +1535,13 @@ def q_media_transforms_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-neighbor resize -> re-encode. Round-4 deliberate frozen-oracle
     updates: png 33->193 / resize ok/85; gif 106->122 (real LZW pixels) /
     frame_sample 60->74 / resize ok/42; jpeg 41->640 (real baseline
-    stream) / resize ok/659. GIF container-level frame sampling emits a
-    valid 2-frame GIF; WAV resize and non-GIF frame_sample stay honestly
-    'unsupported'. The oracle is a FROZEN literal table (hand-audited
-    expected outputs, not recomputed) — any behavior drift in the binary
-    paths fails the hash."""
+    stream) / resize ok/659; resample rows added (PCM16 WAV linear
+    resample to 4 kHz -> ok/8044, the audio analog of resize). GIF
+    container-level frame sampling emits a valid 2-frame GIF; non-audio
+    resample and non-GIF frame_sample stay honestly 'unsupported'. The
+    oracle is a FROZEN literal table (hand-audited expected outputs, not
+    recomputed) — any behavior drift in the binary paths fails the
+    hash."""
     from functools import reduce
 
     from .textquality.multimodal import sample_media_df, transform_media
@@ -1543,6 +1551,7 @@ def q_media_transforms_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform_media(media, "html", op="passthrough"),
         transform_media(media, "html", op="resize", width=3, height=2),
         transform_media(media, "html", op="frame_sample", n_frames=2),
+        transform_media(media, "html", op="resample", rate=4000),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts).select(
         "url", "op", "status", "out_byte_len"

@@ -414,6 +414,47 @@ def _wav_info(blob: bytes) -> dict | None:
     return info if ("audio_format" in info and "data" in info) else None
 
 
+def _encode_wav(frames: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) int16 → PCM16 RIFF/WAVE bytes (inverse of
+    _wav_samples up to the chunk layout)."""
+    n_ch = frames.shape[1]
+    data = frames.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def _resample_wav(blob: bytes, target_rate: int) -> bytes:
+    """PCM16 WAV → PCM16 WAV at target_rate via per-channel LINEAR
+    interpolation (the audio analog of nearest-neighbor resize:
+    deterministic, dependency-free; a production pipeline would swap in a
+    windowed-sinc polyphase filter, the plumbing is identical). Output
+    frame k samples input position k*src/target; frame count =
+    floor(n_frames * target / src)."""
+    info, x = _wav_samples(blob)
+    n_ch = max(info["n_channels"], 1)
+    src = info["sample_rate"]
+    if src <= 0:
+        raise ValueError("WAV with zero sample rate")
+    frames = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch)
+    n_in = frames.shape[0]
+    n_out = max(1, (n_in * target_rate) // src)
+    # exact rational source positions, then linear interp per channel
+    pos = np.arange(n_out, dtype=np.float64) * src / target_rate
+    lo = np.minimum(pos.astype(np.int64), n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo)[:, None]
+    y = frames[lo] * (1.0 - frac) + frames[hi] * frac
+    out = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
+    return _encode_wav(out, target_rate)
+
+
 def _wav_samples(blob: bytes) -> tuple[dict, np.ndarray]:
     """PCM16 WAV → (info, float64 samples in [-1, 1], channel-interleaved).
     Raises ValueError for non-PCM16 (compressed audio needs a codec)."""
@@ -802,7 +843,7 @@ MEDIA_TRANSFORM_SCHEMA = (
     "status string, error string"
 )
 
-_SUPPORTED_OPS = ("resize", "frame_sample", "passthrough")
+_SUPPORTED_OPS = ("resize", "frame_sample", "resample", "passthrough")
 
 
 def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
@@ -817,14 +858,17 @@ def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
                      re-encode in the source format
       frame_sample — GIF: container-level re-assembly of n evenly-spaced
                      frames (output is a valid GIF)
+      resample     — PCM16 WAV: per-channel linear interpolation to
+                     params['rate'] Hz, re-encoded PCM16 (the audio analog
+                     of resize; swap in windowed-sinc on a real cluster)
       passthrough  — byte identity
 
     Genuinely out-of-envelope variants (progressive/non-interleaved JPEG,
-    WAV/video resize, non-GIF frame sampling) raise
-    NotImplementedError, which becomes status='unsupported' — never a task
-    failure, never fabricated pixels. Malformed streams classify 'error'.
-    Swap the unsupported arms for PIL/ffmpeg on a cluster with codecs;
-    nothing else changes."""
+    compressed audio, video frame sampling) raise NotImplementedError,
+    which becomes status='unsupported' — never a task failure, never
+    fabricated pixels. Malformed streams classify 'error'. Swap the
+    unsupported arms for PIL/ffmpeg on a cluster with codecs; nothing
+    else changes."""
     try:
         fmt = _sniff_format(blob)
         if op == "passthrough":
@@ -870,6 +914,21 @@ def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
                     f"sampling {n} frames: {fmt!r} requires a video codec "
                     f"(none in this container; GIF is the codec-free path)"
                 )
+        elif op == "resample":
+            rate = int(params.get("rate", 16000))
+            if fmt == "riff":
+                try:
+                    out = _resample_wav(blob, rate)
+                except ValueError as exc:
+                    # same classification as audio features: a legal
+                    # compressed-audio RIFF is a variant, not a defect
+                    raise NotImplementedError(str(exc)) from exc
+            else:
+                raise NotImplementedError(
+                    f"resample at {rate} Hz: {fmt!r} is not an audio "
+                    f"stream this container can decode (PCM16 WAV is the "
+                    f"codec-free path)"
+                )
         else:
             raise ValueError(f"unknown media op {op!r}")
         return (url, out, len(out), op, "ok", None)
@@ -898,6 +957,8 @@ def transform_media(pages: DataFrame, binary_col: str = "html",
             raise ValueError(f"resize target must be positive, got {w}x{h}")
     if op == "frame_sample" and int(params.get("n_frames", 4)) < 1:
         raise ValueError("n_frames must be >= 1")
+    if op == "resample" and int(params.get("rate", 16000)) < 1:
+        raise ValueError("resample rate must be >= 1 Hz")
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for b in batches:

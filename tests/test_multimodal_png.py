@@ -224,3 +224,75 @@ def test_resize_is_exact_nearest_neighbor():
     yi = (np.arange(2) * 8) // 2
     xi = (np.arange(4) * 8) // 4
     assert np.array_equal(_decode_png(out), src[yi][:, xi])
+
+
+# -------------------------------------------------- WAV resample (round 4) --
+
+
+def test_wav_resample_linear_reference():
+    """PCM16 WAV resample: identity rate round-trips samples exactly;
+    2x downsample equals every-second-frame; upsample midpoints equal the
+    linear average of their neighbors (checked against a numpy reference
+    built here, not the implementation's own math)."""
+    import numpy as np
+
+    from dq_true_north_spark.textquality.multimodal import (
+        _transform_one,
+        _wav_samples,
+        sample_media_rows,
+    )
+
+    wav = dict(sample_media_rows())["media://wav"]
+    _, x0 = _wav_samples(wav)
+
+    same = _transform_one("u", wav, "resample", {"rate": 8000})
+    assert same[4] == "ok"
+    _, x_same = _wav_samples(same[1])
+    assert np.array_equal(x0, x_same)
+
+    down = _transform_one("u", wav, "resample", {"rate": 4000})
+    info_d, x_down = _wav_samples(down[1])
+    assert info_d["sample_rate"] == 4000 and len(x_down) == 4000
+    assert np.array_equal(x_down, x0[::2])
+
+    up = _transform_one("u", wav, "resample", {"rate": 16000})
+    info_u, x_up = _wav_samples(up[1])
+    assert info_u["sample_rate"] == 16000 and len(x_up) == 16000
+    assert np.array_equal(x_up[::2], x0)          # originals preserved
+    mids = (x0[:-1] + x0[1:]) / 2.0               # linear midpoints
+    got_mids = x_up[1:-1:2]
+    assert np.max(np.abs(got_mids - mids)) <= 1.0 / 32768  # int16 rounding
+
+
+def test_wav_resample_stereo_and_classification():
+    import numpy as np
+
+    from dq_true_north_spark.textquality.multimodal import (
+        _encode_wav,
+        _transform_one,
+        _wav_samples,
+        sample_media_rows,
+    )
+
+    # stereo: channels resample independently
+    t = np.arange(1000)
+    left = (np.sin(2 * np.pi * 50 * t / 1000) * 16000).astype(np.int16)
+    right = (np.cos(2 * np.pi * 80 * t / 1000) * 12000).astype(np.int16)
+    stereo = _encode_wav(np.stack([left, right], axis=1), 1000)
+    out = _transform_one("u", stereo, "resample", {"rate": 500})
+    assert out[4] == "ok"
+    info, x = _wav_samples(out[1])
+    assert info["n_channels"] == 2
+    frames = x.reshape(-1, 2)
+    assert np.array_equal(frames[:, 0], left[::2] / 32768.0)
+    assert np.array_equal(frames[:, 1], right[::2] / 32768.0)
+
+    # compressed-audio RIFF (format tag 2 = ADPCM): a variant, not a defect
+    adpcm = bytearray(dict(sample_media_rows())["media://wav"])
+    adpcm[20:22] = (2).to_bytes(2, "little")
+    assert _transform_one("u", bytes(adpcm), "resample", {"rate": 8000})[4] \
+        == "unsupported"
+    # non-audio formats
+    html = dict(sample_media_rows())["media://html"]
+    assert _transform_one("u", html, "resample", {"rate": 8000})[4] \
+        == "unsupported"
