@@ -88,6 +88,8 @@ _DRIVER_WINDOW = 50
 #   minhash_pairs_pages   — exercised transitively by near_dup_clusters_pages
 #   simhash_pairs_pages   — second LSH family; planted + invariance tests
 #   ann_lsh_embeddings    — second ANN family; recall tests (ann_ivf is in)
+#   ann_pq_embeddings     — third ANN family (product quantization); recall
+#                           + determinism tests
 #   host_counts_salted_vs_direct / approx_distinct_vs_exact — partitioning
 #                           demos, asserted exactly in tests
 #   token_budget_packs    — the single-reducer spec form of ..._sharded
@@ -1460,6 +1462,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_write_index(emb, index_path, n_cells=8)
     return ann_ivf_topk(emb, query_filter="vec_id % 100 = 0",
                         n_cells=8, n_probe=4, index_path=index_path)
+
+
+@df_query("ann_pq_embeddings")
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. TPAMI 2011) — the
+    memory-compression scale path beside LSH and IVF: vectors stored as m
+    8-bit codes (256 B -> 8 B at dim 64/m 8), queries scored by ADC (a
+    broadcast m x k exact-distance table + one partial aggregation; corpus
+    float vectors never read at scan time). Iterative training -> rows-only
+    check; recall vs brute force + determinism pinned in
+    tests/test_dedup_similarity.py. Registered in the tail: no-oracle by
+    nature, and the window's oracle density takes precedence."""
+    from .textquality.similarity import pq_topk
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return pq_topk(emb, query_filter="vec_id % 100 = 0", dim=64,
+                   m=8, n_cells=16)
 
 
 @df_query("doc_fingerprints")

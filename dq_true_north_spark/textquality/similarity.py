@@ -370,3 +370,171 @@ def ann_ivf_topk(
             round4_col(F.col("cosine_sim")).alias("cosine_sim"),
         )
     )
+
+
+# ------------------------------------------------------------------- PQ -----
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the memory-compression ANN path: a
+# 64-dim float vector (256 B) becomes m 8-bit codes (m bytes), and query
+# scoring is Asymmetric Distance Computation (ADC): per query, a tiny
+# m x k lookup table of exact subspace distances; per corpus vector, a SUM
+# of m table lookups — no float vectors ever touched at scan time. At
+# 10^12 embeddings this is what makes the corpus fit in cluster RAM.
+
+
+def _pq_subvectors(embeddings: DataFrame, dim: int, m: int,
+                   id_col: str, vec_col: str,
+                   query_filter: str | None = None) -> DataFrame:
+    """(vid, sub_idx, sv) — L2-NORMALIZED vectors split into m contiguous
+    subspaces (normalizing first makes squared-L2 ranking equal cosine
+    ranking: ||a-b||^2 = 2 - 2cos)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    src = embeddings.filter(query_filter) if query_filter else embeddings
+    v = src.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("__n", _norm("v")).select(
+        "vid", F.expr("transform(v, x -> x / __n)").alias("v")
+    )
+    slices = F.array(*[
+        F.expr(f"slice(v, {i * sub + 1}, {sub})") for i in range(m)
+    ])
+    return v.select("vid", F.posexplode(slices).alias("sub_idx", "sv"))
+
+
+def _sq_dist(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_assign(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """argmin-L2 cell per (vid, sub_idx); ties broken by cell id."""
+    scored = subs.join(F.broadcast(codebooks), "sub_idx").withColumn(
+        "d", _sq_dist("sv", "c")
+    )
+    w = Window.partitionBy("vid", "sub_idx").orderBy("d", "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "sub_idx", "sv", "cell")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Codebooks (sub_idx, cell, c): k-means per subspace, ALL m subspaces
+    trained in the same Lloyd jobs (composite (sub_idx, cell) key — m
+    sequential trainings would cost m x iters job rounds for no reason).
+    Deterministic init: each subspace's k smallest-vid subvectors. Same
+    float-avg caveat as ivf_train_centroids: centroids are stable to ~1
+    ulp; consumers treat cell assignment as approximate (PQ is)."""
+    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
+    w0 = Window.partitionBy("sub_idx").orderBy("vid")
+    codebooks = (
+        subs.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") <= k)
+        .select("sub_idx", (F.col("rn") - 1).alias("cell"),
+                F.col("sv").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subs, codebooks)
+        codebooks = (
+            assigned.select("sub_idx", "cell", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub_idx", "cell", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("sub_idx", "cell")
+            .agg(F.expr(
+                "transform(sort_array(collect_list(struct(pos, mu))), s -> s.mu)"
+            ).alias("c"))
+        ).localCheckpoint(eager=True)   # cut the iterative lineage
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, codes array<int>) — m bytes of storage per vector at k<=256."""
+    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
+    return (
+        _pq_assign(subs, codebooks)
+        .groupBy("vid")
+        .agg(F.expr(
+            "transform(sort_array(collect_list(struct(sub_idx, cell))), s -> s.cell)"
+        ).alias("codes"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_filter: str,
+    dim: int,
+    k: int = C.COSINE_TOPK,
+    m: int = 8,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 3,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, rank, cosine_approx). Scoring
+    never reads the corpus float vectors — each corpus row contributes m
+    (sub_idx, code) lookups into the BROADCAST per-query distance table
+    (n_queries x m x n_cells rows, exact subspace distances), summed by
+    one partial aggregation. cosine_approx = 1 - d2/2 on normalized
+    vectors. Pass pre-trained codebooks/codes in production (built once
+    per corpus, like the IVF index); both are derived here when omitted
+    so the operator is self-contained at test scale."""
+    if codebooks is None:
+        codebooks = pq_train(embeddings, dim, m, n_cells, id_col, vec_col,
+                             train_iters)
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, dim, m, id_col, vec_col)
+
+    qsubs = _pq_subvectors(embeddings, dim, m, id_col, vec_col, query_filter)
+    dist_table = (
+        qsubs.join(F.broadcast(codebooks), "sub_idx")
+        .select(
+            F.col("vid").alias("query_id"), "sub_idx", "cell",
+            _sq_dist("sv", "c").alias("d"),
+        )
+    )
+    contrib = (
+        codes.select(
+            F.col("vid").alias("neighbor_id"),
+            F.posexplode("codes").alias("sub_idx", "cell"),
+        )
+        .join(F.broadcast(dist_table), ["sub_idx", "cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.sum("d").alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            round4_col(F.lit(1.0) - F.col("d2") / 2.0).alias("cosine_approx"),
+        )
+    )

@@ -720,3 +720,52 @@ def test_keep_representatives_rejects_unknown_algorithm(spark):
     docs = spark.createDataFrame([("a", "a")], "url string, text string")
     with _pytest.raises(ValueError, match="label.*star|star.*label"):
         keep_representatives(docs, pairs, algorithm="labels")
+
+
+def test_pq_adc_recall_and_code_shape(spark):
+    """Product quantization (round 4): codes are m small ints per vector
+    (the 256-byte -> m-byte compression claim); ADC top-k recall against
+    brute-force cosine clearly beats chance on the random test embeddings
+    (PQ on unstructured random vectors is the technique's hardest case, so
+    the floor is modest — the shape of the machinery, a BROADCAST m x k
+    distance table + one partial aggregation, is the point)."""
+    from dq_true_north_spark.textquality.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    try:
+        books = pq_train(emb, dim=64, m=8, k=16)
+        codes = pq_encode(emb, books, dim=64, m=8)
+        row = codes.first()
+        assert len(row["codes"]) == 8
+        assert all(0 <= c < 16 for c in row["codes"])
+        n_vecs = emb.count()
+        assert codes.count() == n_vecs
+
+        exact = cosine_topk(emb, "vec_id % 100 = 0", k=10).collect()
+        approx = pq_topk(emb, "vec_id % 100 = 0", dim=64, k=10,
+                         codebooks=books, codes=codes).collect()
+        ex, ap = {}, {}
+        for r in exact:
+            ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in approx:
+            ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert set(ap) == set(ex)                    # every query answered
+        assert all(len(v) == 10 for v in ap.values())
+        recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+        mean_recall = sum(recalls) / len(recalls)
+        # chance level for 10-of-n_vecs is ~10/n_vecs (<2%)
+        assert mean_recall >= 0.15, (mean_recall, recalls)
+
+        # determinism: a second full run reproduces the ranking exactly
+        approx2 = pq_topk(emb, "vec_id % 100 = 0", dim=64, k=10,
+                          codebooks=books, codes=codes).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(map(tuple, approx), key=lambda t: (t[0], t[2])) == \
+               sorted(map(tuple, approx2), key=lambda t: (t[0], t[2]))
+    finally:
+        emb.unpersist()
