@@ -612,6 +612,38 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
 FROM documents CROSS JOIN cuts"""
 
 
+@sql_query("doc_chunks")
+def q_doc_chunks(d: str) -> str:
+    """Pretraining document chunking: split each doc into fixed 500-char
+    windows with 100-char overlap (stride 400) — the context-window prep
+    step between cleaning and packing. Pure map-side explode (sequence /
+    generate_series + substr): no shuffle, scales linearly with corpus
+    bytes. chunk count = 1 + ceil(max(n_chars - 500, 0) / 400), so every
+    character is covered and the final chunk reaches the document tail.
+    Char-based windows keep it SQL-expressible/oracle-checkable; a
+    token-aware variant swaps the substr for a BPE-boundary slice inside
+    the same explode shape. Registered in the tail (window is full; local
+    parity still hash-checks it every run)."""
+    if d == SPARK:
+        gen = ("LATERAL VIEW explode(sequence(0, n_extra)) t AS chunk_idx")
+        sel = "length(text) AS n_chars"
+    else:
+        gen = ", unnest(generate_series(0, n_extra)) t(chunk_idx)"
+        sel = "length(text) AS n_chars"
+    return f"""
+WITH sized AS (
+  SELECT doc_id, text, {sel},
+         CAST(GREATEST(CEIL((length(text) - 500) / 400.0), 0) AS INT)
+           AS n_extra
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       substr(text, chunk_idx * 400 + 1, 500) AS chunk_text,
+       CAST(length(substr(text, chunk_idx * 400 + 1, 500)) AS INT)
+         AS chunk_chars
+FROM sized {gen}"""
+
+
 @sql_query("referential_orphans")
 def q_referential_orphans(d: str) -> str:
     """Cross-table referential integrity — the classic DQ orphan check the

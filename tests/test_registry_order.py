@@ -56,6 +56,7 @@ def test_window_is_oracle_dense():
     tail = names[Q._DRIVER_WINDOW:]
     oracled_tail = sorted(n for n in tail if reg[n]["oracle"])
     assert oracled_tail == [
+        "doc_chunks",                  # round-4 addition; window already full
         "doc_top_bigram_fraction",     # supplementary to doc_quality_score
         "dup_orders_cust_date",        # same executor as dup_details_orders
         "token_budget_packs",          # spec form of ..._sharded (in-window)

@@ -364,3 +364,44 @@ def test_round4_signed_half_boundaries_cross_engine(spark):
     assert got_spark_sql == expected
     assert got_duck == expected
     assert got_col == expected
+
+
+def test_doc_chunks_tile_with_overlap(spark):
+    """Chunking semantics on a doc long enough to need several windows
+    (sf0.01 docs are all single-chunk): 500-char chunks at stride 400,
+    consecutive chunks share exactly 100 chars, the stride concatenation
+    reconstructs the document, and the final chunk reaches the tail.
+    Cross-engine: the DuckDB arm produces the identical chunk set."""
+    import duckdb
+
+    from dq_true_north_spark.queries import registry
+    from dq_true_north_spark.textquality.spec import DUCK, SPARK
+
+    text = "".join(chr(97 + (i * 7) % 26) for i in range(1337))
+    tmpl = registry()["doc_chunks"]["template"]
+
+    spark.createDataFrame([(1, text)], "doc_id long, text string") \
+        .createOrReplaceTempView("chunk_probe")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"]) for r in spark.sql(
+            tmpl(SPARK).replace("FROM documents", "FROM chunk_probe")
+        ).collect()
+    )
+    assert len(rows) == 4                    # 1 + ceil((1337-500)/400)
+    for i, (idx, chunk) in enumerate(rows):
+        assert idx == i
+        assert chunk == text[i * 400 : i * 400 + 500]
+    for (_, a), (_, b) in zip(rows, rows[1:]):
+        assert a[400:] == b[:100]            # exact 100-char overlap
+    rebuilt = rows[0][1] + "".join(c[100:] for _, c in rows[1:])
+    assert rebuilt == text                   # full coverage, tail included
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE chunk_probe AS SELECT 1 AS doc_id, ? AS text",
+                [text])
+    duck_rows = sorted(
+        (int(i), c) for _doc, i, c, _n in con.execute(
+            tmpl(DUCK).replace("FROM documents", "FROM chunk_probe")
+        ).fetchall()
+    )
+    assert duck_rows == rows
