@@ -483,23 +483,24 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             .groupBy(F.col("src").alias("doc"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        new_label = F.least(
+            F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+        )
+        # the convergence flag rides INSIDE the checkpointed frame, so the
+        # moved-count is a cheap filter over already-materialized rows —
+        # not a second labels-vs-updated join job per round
         updated = (
             labels.join(neighbor_min, "doc", "left")
             .select(
                 "doc",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
+                new_label.alias("new_cluster_id"),
+                (new_label != F.col("cluster_id")).alias("__changed"),
             )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint(eager=True)
         )
-        moved = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels = updated
+        moved = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
         if moved == 0:
             return labels
     raise RuntimeError(
