@@ -625,14 +625,12 @@ def q_doc_chunks(d: str) -> str:
     the same explode shape. Registered in the tail (window is full; local
     parity still hash-checks it every run)."""
     if d == SPARK:
-        gen = ("LATERAL VIEW explode(sequence(0, n_extra)) t AS chunk_idx")
-        sel = "length(text) AS n_chars"
+        gen = "LATERAL VIEW explode(sequence(0, n_extra)) t AS chunk_idx"
     else:
         gen = ", unnest(generate_series(0, n_extra)) t(chunk_idx)"
-        sel = "length(text) AS n_chars"
     return f"""
 WITH sized AS (
-  SELECT doc_id, text, {sel},
+  SELECT doc_id, text,
          CAST(GREATEST(CEIL((length(text) - 500) / 400.0), 0) AS INT)
            AS n_extra
   FROM documents
@@ -1501,11 +1499,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. TPAMI 2011) — the
     memory-compression scale path beside LSH and IVF: vectors stored as m
     8-bit codes (256 B -> 8 B at dim 64/m 8), queries scored by ADC (a
-    broadcast m x k exact-distance table + one partial aggregation; corpus
-    float vectors never read at scan time). Iterative training -> rows-only
-    check; recall vs brute force + determinism pinned in
-    tests/test_dedup_similarity.py. Registered in the tail: no-oracle by
-    nature, and the window's oracle density takes precedence."""
+    broadcast m x k exact-distance table + one value-sorted-fold
+    aggregation; corpus float vectors never read at scan time). Iterative
+    training -> rows-only check; recall vs brute force + given-codebook
+    determinism pinned in tests/test_dedup_similarity.py (training itself
+    carries the same ~1-ulp float-avg caveat as IVF). Registered in the
+    tail: no-oracle by nature, and the window's oracle density takes
+    precedence."""
     from .textquality.similarity import pq_topk
 
     load_tables(spark, sf_dir, ("embeddings",))

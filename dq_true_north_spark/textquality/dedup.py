@@ -488,15 +488,16 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         )
         # the convergence flag rides INSIDE the checkpointed frame, so the
         # moved-count is a cheap filter over already-materialized rows —
-        # not a second labels-vs-updated join job per round
+        # not a second labels-vs-updated join job per round (select exprs
+        # resolve against the INPUT frame, so aliasing the new value as
+        # cluster_id cannot shadow the old column it compares against)
         updated = (
             labels.join(neighbor_min, "doc", "left")
             .select(
                 "doc",
-                new_label.alias("new_cluster_id"),
+                new_label.alias("cluster_id"),
                 (new_label != F.col("cluster_id")).alias("__changed"),
             )
-            .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint(eager=True)
         )
         moved = updated.filter(F.col("__changed")).count()

@@ -436,14 +436,30 @@ def _resample_wav(blob: bytes, target_rate: int) -> bytes:
     deterministic, dependency-free; a production pipeline would swap in a
     windowed-sinc polyphase filter, the plumbing is identical). Output
     frame k samples input position k*src/target; frame count =
-    floor(n_frames * target / src)."""
-    info, x = _wav_samples(blob)
+    floor(n_frames * target / src). Classification is explicit:
+    NotImplementedError for legal variants (non-WAVE RIFF like AVI,
+    compressed audio), ValueError for structurally broken streams."""
+    if len(blob) >= 12 and blob[:4] == b"RIFF" and blob[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "non-WAVE RIFF container (e.g. AVI) needs an A/V codec"
+        )
+    info = _wav_info(blob)
+    if info is None:
+        raise ValueError("malformed RIFF/WAVE stream")
+    if info["audio_format"] != 1 or info["bits"] != 16:
+        raise NotImplementedError(
+            f"compressed WAV (format={info['audio_format']}, "
+            f"bits={info['bits']}) needs an audio codec"
+        )
+    if info["sample_rate"] <= 0:
+        raise ValueError("WAV with zero sample rate")
+    _, x = _wav_samples(blob)
     n_ch = max(info["n_channels"], 1)
     src = info["sample_rate"]
-    if src <= 0:
-        raise ValueError("WAV with zero sample rate")
     frames = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch)
     n_in = frames.shape[0]
+    if n_in == 0:                        # legal empty-data WAV: stays empty
+        return _encode_wav(np.zeros((0, n_ch), dtype=np.int16), target_rate)
     n_out = max(1, (n_in * target_rate) // src)
     # exact rational source positions, then linear interp per channel
     pos = np.arange(n_out, dtype=np.float64) * src / target_rate
@@ -917,12 +933,10 @@ def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
         elif op == "resample":
             rate = int(params.get("rate", 16000))
             if fmt == "riff":
-                try:
-                    out = _resample_wav(blob, rate)
-                except ValueError as exc:
-                    # same classification as audio features: a legal
-                    # compressed-audio RIFF is a variant, not a defect
-                    raise NotImplementedError(str(exc)) from exc
+                # _resample_wav classifies for itself: NotImplementedError
+                # for legal variants (AVI, compressed audio) -> unsupported;
+                # ValueError for broken streams -> error
+                out = _resample_wav(blob, rate)
             else:
                 raise NotImplementedError(
                     f"resample at {rate} Hz: {fmt!r} is not an audio "
@@ -1038,19 +1052,12 @@ def sample_media_rows() -> list[tuple[str, bytes]]:
     rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
     bmp = _encode_bmp(rgb)
 
-    # 1-second 440 Hz mono PCM16 WAV at 8 kHz
+    # 1-second 440 Hz mono PCM16 WAV at 8 kHz (through the shared encoder —
+    # byte-identical to the old hand-assembled layout, one header source)
     sr = 8000
     t = np.arange(sr)
-    sig = (np.sin(2 * np.pi * 440 * t / sr) * 16384).astype("<i2")
-    data = sig.tobytes()
-    wav = (
-        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
-        + b"fmt " + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
-        + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
-        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
-        + b"data" + len(data).to_bytes(4, "little") + data
-    )
+    sig = (np.sin(2 * np.pi * 440 * t / sr) * 16384).astype(np.int16)
+    wav = _encode_wav(sig.reshape(-1, 1), sr)
 
     # 4-frame 3x2 GIF with REAL LZW pixel data (frame f = pattern f, a
     # 4-color global palette): frame count, sampling, dims AND pixel decode

@@ -432,6 +432,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 3,
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """Codebooks (sub_idx, cell, c): k-means per subspace, ALL m subspaces
     trained in the same Lloyd jobs (composite (sub_idx, cell) key — m
@@ -439,7 +440,9 @@ def pq_train(
     Deterministic init: each subspace's k smallest-vid subvectors. Same
     float-avg caveat as ivf_train_centroids: centroids are stable to ~1
     ulp; consumers treat cell assignment as approximate (PQ is)."""
-    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
+    subs = subs if subs is not None else _pq_subvectors(
+        embeddings, dim, m, id_col, vec_col
+    ).localCheckpoint(eager=True)   # one corpus scan, not one per Lloyd round
     w0 = Window.partitionBy("sub_idx").orderBy("vid")
     codebooks = (
         subs.withColumn("rn", F.row_number().over(w0))
@@ -469,9 +472,11 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """(vid, codes array<int>) — m bytes of storage per vector at k<=256."""
-    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
+    if subs is None:
+        subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
     return (
         _pq_assign(subs, codebooks)
         .groupBy("vid")
@@ -501,12 +506,23 @@ def pq_topk(
     one partial aggregation. cosine_approx = 1 - d2/2 on normalized
     vectors. Pass pre-trained codebooks/codes in production (built once
     per corpus, like the IVF index); both are derived here when omitted
-    so the operator is self-contained at test scale."""
-    if codebooks is None:
-        codebooks = pq_train(embeddings, dim, m, n_cells, id_col, vec_col,
-                             train_iters)
-    if codes is None:
-        codes = pq_encode(embeddings, codebooks, dim, m, id_col, vec_col)
+    so the operator is self-contained at test scale.
+
+    Determinism: GIVEN codebooks/codes, the ranking is partition-order
+    independent — the per-pair d2 is a sequential fold over the
+    VALUE-SORTED m contributions (an unordered SUM of doubles can flip a
+    sub-ulp-separated rank across shuffles), and ties break by
+    neighbor_id. Training itself carries the same ~1-ulp float-avg caveat
+    as ivf_train_centroids."""
+    if codebooks is None or codes is None:
+        subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col) \
+            .localCheckpoint(eager=True)    # shared by train AND encode
+        if codebooks is None:
+            codebooks = pq_train(embeddings, dim, m, n_cells, id_col,
+                                 vec_col, train_iters, subs=subs)
+        if codes is None:
+            codes = pq_encode(embeddings, codebooks, dim, m, id_col,
+                              vec_col, subs=subs)
 
     qsubs = _pq_subvectors(embeddings, dim, m, id_col, vec_col, query_filter)
     dist_table = (
@@ -525,7 +541,12 @@ def pq_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = contrib.groupBy("query_id", "neighbor_id").agg(
-        F.sum("d").alias("d2")
+        # value-sorted sequential fold: bit-identical at any partitioning
+        # (m is small, so the collect_list is m doubles per pair)
+        F.expr(
+            "aggregate(array_sort(collect_list(d)), CAST(0.0 AS DOUBLE), "
+            "(a, x) -> a + x)"
+        ).alias("d2")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("neighbor_id")
