@@ -96,6 +96,10 @@ _DRIVER_WINDOW = 50
 #   dup_orders_cust_date  — same duplicate executor as dup_details_orders
 #   doc_top_bigram_fraction — supplementary quality metric (doc_quality_score
 #                           is the §2 evidence)
+#   ngram_jaccard_pairs   — 1-row result, near-redundant with
+#                           benchmark_contamination's n-gram machinery
+#                           (swapped out in round 5 to put doc_chunks'
+#                           oracle in the driver's view — VERDICT r4 #7)
 _PRIORITY: tuple[str, ...] = (
     "pages_pipeline_verdicts",
     "pages_pipeline_summary",
@@ -141,7 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "spike_overlay_join",
     "json_props_extract",
     "cosine_topk_embeddings",
-    "ngram_jaccard_pairs",
+    "doc_chunks",
     "embedding_near_dup_pairs",
     "canonical_urls",
     "benchmark_contamination",
@@ -1671,8 +1675,13 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship corpus pipeline (north_rule): langid + perplexity UDF stages
     + heuristics + exact dedup + scrub over the deterministic synthetic
     Common-Crawl-style pages table (corpus.py). Not SQL-expressible (model
-    UDFs) → rows-only driver check; full parity vs the golden reference
-    implementation is enforced in tests/test_pipeline.py."""
+    UDFs), but at the sf0.01 correctness scale a full rows+schema+hash
+    oracle IS registered: a VALUES table derived from the INDEPENDENT
+    golden scalar reference (tests/golden.py) mirrored through this query's
+    exact display chain (_register_pages_verdicts_oracle) — production
+    Spark vs independent reference, per row, including scrubbed bytes.
+    At other SFs it degrades to the rows-only check; local parity at all
+    SFs is enforced in tests/test_pipeline.py."""
     from pyspark.sql import functions as F
 
     from .corpus import n_pages_for_sf, pages_df
@@ -1765,6 +1774,65 @@ def _register_media_meta_oracle() -> None:
     )
 
 
+def _register_pages_verdicts_oracle() -> None:
+    """Flagship upgraded from rows-only (VERDICT r4 #1): the expected
+    verdicts for the 10,000-page sf0.01 corpus are computed driver-side by
+    the INDEPENDENT golden reference (tests/golden.py — python `re`
+    heuristics + the frozen scalar model paths, NOT the Spark spec
+    expressions) and frozen into a VALUES oracle, so the driver's hash
+    check is production-Spark-vs-independent-reference per row, scrubbed
+    bytes included. Exact per-row equality of the two implementations at
+    this scale was verified before freezing the pattern (and is re-asserted
+    every run by the hash itself); the F1/byte-parity tests in
+    tests/test_pipeline.py remain the tolerance-stated gates at other SFs.
+
+    Display-chain mirroring (the CLAUDE.md invariant): the production query
+    emits np.round(conf, 6) → spec.round4_col (floor-based) and
+    np.round(ppl, 4) → round4_col(·, 2); the oracle applies the identical
+    chain to the golden's raw values. warc_ts goes through str(pandas
+    Timestamp), which matches Spark's CAST(timestamp AS STRING) for the
+    whole-second corpus timestamps. Costs ~7 s, paid once per process on
+    first registry() access; guarded by the tests-importable check so a
+    deployment without the tests package simply stays rows-only."""
+    try:
+        from tests.golden import golden_verdicts
+    except ImportError:
+        return
+    import math
+
+    import numpy as np
+
+    from .corpus import generate_pages_pdf
+
+    def chain(x: float, nd_model: int, nd_disp: int) -> float:
+        # np.round(x, nd_model) inside the UDF, floor-based round4 at
+        # nd_disp applied by the query — mirrored exactly
+        m = float(np.round(np.float64(x), nd_model))
+        return math.floor(m * 10**nd_disp + 0.5) / 10**nd_disp
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    g = golden_verdicts(generate_pages_pdf(10_000))
+    rows = []
+    for t in g.itertuples(index=False):
+        rows.append(
+            f"('{esc(t.url)}', '{t.warc_ts}', {int(t.keep)}, "
+            f"'{esc(','.join(t.drop_reasons))}', '{esc(t.pred_lang)}', "
+            f"{chain(t.lang_confidence, 6, 4)!r}, "
+            f"{chain(t.perplexity, 4, 2)!r}, "
+            f"'{esc(t.scrubbed_text)}')"
+        )
+    _REGISTRY["pages_pipeline_verdicts"]["oracle"] = (
+        "SELECT url, warc_ts, CAST(keep AS INT) AS keep, drop_reasons, "
+        "pred_lang, CAST(lang_confidence AS DOUBLE) AS lang_confidence, "
+        "CAST(perplexity AS DOUBLE) AS perplexity, scrubbed_text "
+        f"FROM (VALUES {', '.join(rows)}) t(url, warc_ts, keep, "
+        "drop_reasons, pred_lang, lang_confidence, perplexity, "
+        "scrubbed_text)"
+    )
+
+
 def _register_spec_value_oracles() -> None:
     """doc_fingerprints / langid_documents upgraded from rows-only to full
     oracle checks (VERDICT r2 #6): both are deterministic pure-Python/numpy
@@ -1791,6 +1859,7 @@ def _register_spec_value_oracles() -> None:
 
     sf_dir = os.environ.get("DQ_TEST_SF_DIR", "/root/testdata/sf0.01")
     if "0.01" in sf_dir:
+        _register_pages_verdicts_oracle()   # flagship: golden-derived
         # pipeline summary over the 10,000-page sf0.01 corpus, frozen from
         # tests/golden.py (the reference-faithful pure-Python pipeline,
         # ~6 s to recompute — too slow for registry time, so the one row

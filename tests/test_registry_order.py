@@ -24,6 +24,7 @@ LOAD_BEARING = (
     "ann_ivf_embeddings",
     "token_budget_packs_sharded",
     "length_band_filter_approx",
+    "doc_chunks",
 )
 
 
@@ -56,9 +57,11 @@ def test_window_is_oracle_dense():
     tail = names[Q._DRIVER_WINDOW:]
     oracled_tail = sorted(n for n in tail if reg[n]["oracle"])
     assert oracled_tail == [
-        "doc_chunks",                  # round-4 addition; window already full
         "doc_top_bigram_fraction",     # supplementary to doc_quality_score
         "dup_orders_cust_date",        # same executor as dup_details_orders
+        "ngram_jaccard_pairs",         # 1-row, near-redundant with
+                                       # benchmark_contamination (r5 swap
+                                       # that put doc_chunks in-window)
         "token_budget_packs",          # spec form of ..._sharded (in-window)
     ], f"unplanned oracled queries in the tail: {oracled_tail}"
 
