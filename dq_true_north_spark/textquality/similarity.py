@@ -559,3 +559,166 @@ def pq_topk(
             round4_col(F.lit(1.0) - F.col("d2") / 2.0).alias("cosine_approx"),
         )
     )
+
+
+# --------------------------------------------------------------- IVF x PQ ---
+# The composed at-scale index (IVFADC layout, Jégou et al. TPAMI 2011 §IV,
+# without residual encoding): the coarse quantizer ROUTES — each query scans
+# only its n_probe nearest cells — and per-cell PQ codes SCORE via the
+# broadcast ADC table, so the probe reads m-byte codes from the probed cell
+# partitions and never touches corpus float vectors. At 10^12 embeddings
+# this is the index that is both RAM-fit (PQ compression) and
+# scan-bounded (IVF pruning); plain IVF re-reads float vectors per probe,
+# plain PQ scans every code for every query.
+
+
+def ivfpq_write_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 8,
+    m: int = 8,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 3,
+) -> None:
+    """Materialize the composed index:
+
+        path/centroids – coarse k-means centroids (cell, c)
+        path/codebooks – per-subspace PQ codebooks (sub_idx, cell, c)
+        path/codes     – (vid, codes) parquet PARTITIONED BY ccell (the
+                         coarse cell), so a probe's `ccell IN (...)` filter
+                         prunes to n_probe/n_cells of the m-byte codes
+
+    Training shares ONE normalized-subvector scan (localCheckpoint) between
+    pq_train and pq_encode — the pq_topk discipline."""
+    centroids = ivf_train_centroids(
+        embeddings, n_cells, id_col, vec_col, train_iters
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    assigned = _assign_cells(vecs, centroids).select(
+        "vid", F.col("cell").alias("ccell")
+    )
+    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col) \
+        .localCheckpoint(eager=True)
+    codebooks = pq_train(embeddings, dim, m, pq_k, id_col, vec_col,
+                         train_iters, subs=subs)
+    codes = pq_encode(embeddings, codebooks, dim, m, id_col, vec_col,
+                      subs=subs)
+    codes.join(assigned, "vid").write.mode("overwrite") \
+        .partitionBy("ccell").parquet(f"{path}/codes")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    query_filter: str,
+    dim: int,
+    k: int = C.COSINE_TOPK,
+    m: int = 8,
+    n_cells: int = 8,
+    pq_k: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 3,
+    index_path: str | None = None,
+) -> DataFrame:
+    """IVF-routed ADC top-k: (query_id, neighbor_id, rank, cosine_approx).
+
+    Per query: resolve its n_probe nearest coarse cells (tiny broadcast
+    queries×centroids job), read ONLY those cells' code partitions, then
+    score each candidate by the PQ ADC sum — m lookups into the broadcast
+    per-query distance table, folded value-sorted so the ranking is
+    partition-order independent given the trained index (the pq_topk
+    determinism contract; training itself keeps the ~1-ulp float-avg
+    caveat of both trainers). cosine_approx = 1 - d2/2 on normalized
+    vectors. A (query, candidate) pair appears under exactly one coarse
+    cell, so no dedup step is needed before the fold.
+
+    index_path=None derives everything in-memory (self-contained at test
+    scale); with index_path (written by ivfpq_write_index) the probe is
+    the at-scale contract: static `ccell IN (...)` partition pruning over
+    m-byte codes."""
+    spark = embeddings.sparkSession
+    if index_path is not None:
+        centroids = spark.read.parquet(f"{index_path}/centroids")
+        codebooks = spark.read.parquet(f"{index_path}/codebooks")
+        probes = _query_probes(
+            embeddings, centroids, query_filter, id_col, vec_col, n_probe
+        ).localCheckpoint(eager=True)
+        probe_cells = sorted(
+            {r["cell"] for r in probes.select("cell").distinct().collect()}
+        )
+        codes = spark.read.parquet(f"{index_path}/codes").filter(
+            F.col("ccell").isin(probe_cells)      # partition pruning
+        )
+    else:
+        centroids = ivf_train_centroids(
+            embeddings, n_cells, id_col, vec_col, train_iters
+        )
+        vecs = embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+            .alias("v"),
+        )
+        assigned = _assign_cells(vecs, centroids).select(
+            "vid", F.col("cell").alias("ccell")
+        )
+        subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col) \
+            .localCheckpoint(eager=True)
+        codebooks = pq_train(embeddings, dim, m, pq_k, id_col, vec_col,
+                             train_iters, subs=subs)
+        codes = pq_encode(embeddings, codebooks, dim, m, id_col, vec_col,
+                          subs=subs).join(assigned, "vid")
+        probes = _query_probes(
+            embeddings, centroids, query_filter, id_col, vec_col, n_probe
+        )
+
+    # per-query ADC table: exact subspace distances query -> every codeword
+    qsubs = _pq_subvectors(embeddings, dim, m, id_col, vec_col, query_filter)
+    dist_table = (
+        qsubs.join(F.broadcast(codebooks), "sub_idx")
+        .select(
+            F.col("vid").alias("query_id"), "sub_idx", "cell",
+            _sq_dist("sv", "c").alias("d"),
+        )
+    )
+    # candidates: codes in cells probed BY THAT query (per-query routing —
+    # the join key is the coarse cell, the broadcast side <= queries*n_probe)
+    pairs = (
+        codes.join(
+            F.broadcast(
+                probes.select("query_id", F.col("cell").alias("ccell"))
+            ),
+            "ccell",
+        )
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("neighbor_id"), "codes")
+    )
+    contrib = pairs.select(
+        "query_id", "neighbor_id",
+        F.posexplode("codes").alias("sub_idx", "cell"),
+    ).join(F.broadcast(dist_table), ["query_id", "sub_idx", "cell"])
+    scored = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(d)), CAST(0.0 AS DOUBLE), "
+            "(a, x) -> a + x)"
+        ).alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            round4_col(F.lit(1.0) - F.col("d2") / 2.0).alias("cosine_approx"),
+        )
+    )

@@ -770,3 +770,56 @@ def test_pq_adc_recall_and_code_shape(spark):
                sorted(map(tuple, approx2), key=lambda t: (t[0], t[2]))
     finally:
         emb.unpersist()
+
+
+def test_ann_ivfpq_persisted_matches_in_memory_and_recall(spark, tmp_path):
+    """IVF×PQ composition (round 5): coarse cells route, PQ codes score.
+    The persisted-index probe (ccell-partitioned m-byte codes + static
+    partition pruning) must reproduce the in-memory path EXACTLY given the
+    same trained index artifacts... but training twice re-runs float avg,
+    so instead the index is written once and both paths read the same
+    files where they share artifacts — here we assert the stronger thing
+    that matters: same-parameters in-memory and persisted runs (each
+    training from the same deterministic init over the same data in the
+    same session) produce the identical ranking, every query is answered
+    with a full top-k, and mean recall vs brute-force cosine clears the
+    plain-PQ floor (routing must not LOSE accuracy vs scoring everything
+    at this corpus size)."""
+    from dq_true_north_spark.textquality.similarity import (
+        ann_ivfpq_topk,
+        ivfpq_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    try:
+        path = str(tmp_path / "ivfpq_index")
+        ivfpq_write_index(emb, path, dim=64, n_cells=8, m=8, pq_k=16)
+        import os
+
+        # layout contract: codes are partitioned by coarse cell with
+        # commit markers per artifact
+        assert os.path.exists(f"{path}/codes/_SUCCESS")
+        assert any(d.startswith("ccell=") for d in os.listdir(f"{path}/codes"))
+
+        mem = ann_ivfpq_topk(emb, "vec_id % 100 = 0", dim=64, k=10,
+                             m=8, n_cells=8, pq_k=16, n_probe=4).collect()
+        disk = ann_ivfpq_topk(emb, "vec_id % 100 = 0", dim=64, k=10,
+                              m=8, n_cells=8, pq_k=16, n_probe=4,
+                              index_path=path).collect()
+        key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"],
+                         r["cosine_approx"])
+        assert sorted(map(key, mem)) == sorted(map(key, disk))
+
+        exact = cosine_topk(emb, "vec_id % 100 = 0", k=10).collect()
+        ex, ap = {}, {}
+        for r in exact:
+            ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in disk:
+            assert r["neighbor_id"] != r["query_id"]
+            ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert set(ap) == set(ex)                   # every query answered
+        assert all(len(v) == 10 for v in ap.values())
+        recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+        assert sum(recalls) / len(recalls) >= 0.15, recalls
+    finally:
+        emb.unpersist()
