@@ -100,6 +100,8 @@ _DRIVER_WINDOW = 50
 #                           benchmark_contamination's n-gram machinery
 #                           (swapped out in round 5 to put doc_chunks'
 #                           oracle in the driver's view — VERDICT r4 #7)
+#   doc_chunks_tokens     — token-aware twin of doc_chunks (in-window);
+#                           same explode shape, oracled, property-tested
 _PRIORITY: tuple[str, ...] = (
     "pages_pipeline_verdicts",
     "pages_pipeline_summary",
@@ -591,7 +593,19 @@ def q_length_band_filter_approx(d: str) -> str:
     asserted at all three SFs in tests/test_rule_semantics.py, and the
     band-membership relation to the exact-NTILE deciles (differs only at
     docs TIED on a cutoff value, where a value filter keeps/drops whole
-    ties but ntile splits them) is pinned there too."""
+    ties but ntile splits them) is pinned there too.
+
+    FLOAT-BOUNDARY CAVEAT (ADVICE r4 #3): CEIL(p*n) is sensitive to IEEE
+    representation at exact decimal boundaries — 0.1*500 evaluates just
+    above 50.0, so CEIL yields 51, and that float-derived rank is exactly
+    what matched Spark's observed sketch behavior at every shipped SF.
+    Do NOT "fix" the oracle arm to exact integer arithmetic
+    (CEIL(n*p_num/p_den) gives 50 there) — it would diverge from Spark at
+    those boundaries. The contract is pinned EMPIRICALLY at the three
+    shipped SFs; a new SF or a tie-heavy distribution outside them could
+    land on an unpinned boundary, so any new SF must extend
+    test_percentile_approx_matches_rank_rule's parametrization FIRST (the
+    instruction lives at that test)."""
     if d == SPARK:
         cuts = """
   SELECT CAST(percentile_approx(n_chars, 0.1, 1000000) AS BIGINT) AS lo,
@@ -643,6 +657,48 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        substr(text, chunk_idx * 400 + 1, 500) AS chunk_text,
        CAST(length(substr(text, chunk_idx * 400 + 1, 500)) AS INT)
          AS chunk_chars
+FROM sized {gen}"""
+
+
+@sql_query("doc_chunks_tokens")
+def q_doc_chunks_tokens(d: str) -> str:
+    """Token-aware chunking (VERDICT r4 next #6): the same explode shape as
+    doc_chunks, but windows of 100 BPE-ish TOKENS with 20-token overlap
+    (stride 80) — no token is ever split across a chunk boundary, because
+    chunks are slices of the spec token array (spec.bpe_tokens tiles the
+    text, whitespace runs included, so a joined slice is a true substring
+    of the original). chunk count = 1 + ceil(max(n_tokens - 100, 0) / 80):
+    full token coverage, final chunk reaches the tail. Still pure map-side
+    (tokenize + explode + slice — no shuffle, linear in corpus bytes) and
+    still SQL-expressible in both dialects, so the token-aware form is
+    oracle-checked too, not just the char-based spec form. Registered in
+    the tail (window is full; local parity hash-checks it every run)."""
+    toks = spec.bpe_tokens(d, "text")
+    if d == SPARK:
+        gen = "LATERAL VIEW explode(sequence(0, n_extra)) t AS chunk_idx"
+        sl = "slice(toks, chunk_idx * 80 + 1, 100)"
+        joined = f"COALESCE(array_join({sl}, ''), '')"
+        n_sl = f"size({sl})"
+    else:
+        gen = ", unnest(generate_series(0, n_extra)) t(chunk_idx)"
+        sl = "list_slice(toks, chunk_idx * 80 + 1, chunk_idx * 80 + 100)"
+        # DuckDB's array_to_string([]) is NULL where Spark's array_join
+        # is '' — COALESCE in BOTH dialects pins the empty-document row
+        # to an empty chunk, not a NULL
+        joined = f"COALESCE(array_to_string({sl}, ''), '')"
+        n_sl = f"len({sl})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks,
+         CAST(GREATEST(CEIL(({spec.size(d, 'toks')} - 100) / 80.0), 0)
+              AS INT) AS n_extra
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       {joined} AS chunk_text,
+       CAST({n_sl} AS INT) AS chunk_tokens
 FROM sized {gen}"""
 
 

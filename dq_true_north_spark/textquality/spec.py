@@ -242,6 +242,21 @@ def bpe_token_count(d: str, t: str) -> str:
     return rx_count(d, t, C.BPE_TOKEN_PATTERN)
 
 
+def bpe_tokens(d: str, t: str) -> str:
+    """Array of BPE-ish tokens. The pattern TILES the input — every
+    character belongs to exactly one token (whitespace runs are tokens
+    too), so concatenating the array with '' reconstructs the text
+    byte-for-byte. Token-aware chunking (doc_chunks_tokens) relies on
+    exactly this: slicing the array can never split a token, and joining
+    a slice yields a true substring of the original. Spark's
+    regexp_extract_all defaults to capture group 1 (the pattern contains a
+    non-capturing group), so group 0 is passed explicitly."""
+    p = _rx(d, C.BPE_TOKEN_PATTERN)
+    if d == SPARK:
+        return f"regexp_extract_all({t}, {p}, 0)"
+    return f"regexp_extract_all({t}, {p})"
+
+
 # ------------------------------------------------- drop-reason predicates ---
 # (reason_code, predicate-SQL builder). Order is C.DROP_REASON_ORDER minus the
 # UDF-backed reasons (lang-confidence, perplexity) which join in later.

@@ -256,7 +256,14 @@ def test_percentile_approx_matches_rank_rule(spark, sf):
     """The length_band_filter_approx cross-engine contract: Spark's
     percentile_approx at accuracy >= n equals the ceil(p*n)-th smallest
     value — the exact rank rule the DuckDB oracle arm states. Pinned at all
-    three SFs so a driver run at any scale stays hash-green."""
+    three SFs so a driver run at any scale stays hash-green.
+
+    The rank is FLOAT-derived by design (0.1*500 -> 50.000...007 -> CEIL
+    51; exact integer arithmetic would give 50 and diverge from Spark) and
+    the contract is pinned EMPIRICALLY — when a new SF directory is added
+    to the testdata, EXTEND the parametrize list here BEFORE registering
+    any query at that scale (ADVICE r4 #3; full caveat at the
+    length_band_filter_approx docstring)."""
     import math
 
     import duckdb
