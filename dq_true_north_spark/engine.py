@@ -129,16 +129,27 @@ def run_catalog(
             return None  # the owning rule reports the parse ERROR itself
 
     cached: list[str] = []
-    sources = dict.fromkeys(_source_of(r) for r in active)
-    for tbl in sources:
-        if not tbl:
-            continue
+    sources = [t for t in dict.fromkeys(_source_of(r) for r in active) if t]
+
+    def _warm(tbl: str) -> str | None:
         try:
             spark.catalog.cacheTable(tbl)
             spark.table(tbl).count()
-            cached.append(tbl)
+            return tbl
         except Exception:
-            pass  # unknown table: the owning rule will report ERROR itself
+            return None  # unknown table: owning rule reports ERROR itself
+
+    # warm the caches CONCURRENTLY — the materializing counts are
+    # independent jobs over distinct tables, and serializing them put the
+    # whole cache phase (~2 s at sf0.1) on the critical path before any
+    # rule could start (the round-5 dq_engine_summary drift investigation:
+    # the drift itself was measurement noise, but this phase was real,
+    # serial, and free to overlap)
+    if sources:
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=len(sources)) as warm_pool:
+            cached = [t for t in warm_pool.map(_warm, sources) if t]
 
     try:
         if parallelism <= 1 or len(active) <= 1:
