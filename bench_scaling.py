@@ -216,7 +216,20 @@ excluded; 3 interleaved paired visits x 2 timed runs each.
    (c) The verdict pipeline's plan shape is unchanged this round (round-4
    work was correctness-window ordering, at-scale sampling/packing
    variants, and the PNG/GIF/JPEG codecs); headline sf0.1 throughput
-   moved 20,460 -> ~26,200 docs/s on the same fully-materialized job.
+   moved 20,460 -> 31,517 docs/s (BENCH_r04.json, the artifact of record;
+   an earlier draft of this note quoted a stale ~26,200 local reading —
+   VERDICT r4 wrong #1).
+7. Round-5 note: the pairing tables above are RE-MEASURED on the current
+   pipeline (the r4 tables predated a +54% throughput change; VERDICT r4
+   next #2). Round-5 code changes do not touch the pipeline plan (the
+   engine's source-cache warm-up became concurrent, but run_catalog is
+   not part of this job), so any delta vs the r4 tables is throughput
+   level, not plan shape. Result: 2v8 median 0.878 (r4: 0.903) clears the
+   >=0.8 target; the min visit (0.791) is the one where the local[8] leg
+   ran 22.7 s against 16-17 s on the quiet visits — shared-host noise in
+   the DENOMINATOR, not a scaling change (its own two timed runs disagree
+   by the same margin). 8v32 remains DRAM-ceiling-bound (0.404-0.458),
+   consistent with every prior round's gradient reading.
 
 Determinism across parallelism is separately enforced by
 tests/test_pipeline.py::test_determinism_across_parallelism (exact verdict

@@ -16,9 +16,10 @@ us do WITHOUT a codec library is implemented for real:
          extensions; FULL frame-0 pixel decode + resize via the
          variable-width LZW codec implemented below (decode AND encode)
   JPEG — SOFn frame header scan (ITU T.81 §B.2.2) for height/width; FULL
-         baseline pixel decode + resize via the huffman+DCT codec in
-         textquality/jpeg.py (pure numpy; progressive/arithmetic streams
-         classify 'unsupported')
+         pixel decode + resize via the huffman+DCT codec in
+         textquality/jpeg.py (pure numpy) — baseline SOF0/1 AND
+         progressive SOF2 (spectral selection + successive approximation,
+         round 5); arithmetic/lossless/hierarchical classify 'unsupported'
   BMP  — BITMAPINFOHEADER dims; FULL pixel decode + nearest-neighbor
          resize + re-encode for uncompressed BI_RGB 24/32-bit (pure numpy
          byte math — no codec exists or is needed)
@@ -27,7 +28,7 @@ us do WITHOUT a codec library is implemented for real:
 
 Every image format's entropy coding is thus handled in-repo (PNG deflate =
 stdlib zlib; GIF LZW and baseline JPEG huffman implemented outright); only
-genuinely out-of-envelope variants (progressive JPEG, lossy audio,
+genuinely out-of-envelope variants (arithmetic-coded JPEG, lossy audio,
 compressed video) get ``status='unsupported'`` / NULL fields —
 never fabricated values. Swap those arms for PIL/ffmpeg on a cluster with
 codecs; the mapInPandas plumbing, schema and batch shape do not change.
@@ -879,7 +880,7 @@ def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
                      of resize; swap in windowed-sinc on a real cluster)
       passthrough  — byte identity
 
-    Genuinely out-of-envelope variants (progressive/non-interleaved JPEG,
+    Genuinely out-of-envelope variants (arithmetic/lossless JPEG,
     compressed audio, video frame sampling) raise NotImplementedError,
     which becomes status='unsupported' — never a task failure, never
     fabricated pixels. Malformed streams classify 'error'. Swap the
@@ -907,9 +908,9 @@ def _transform_one(url: str, blob: bytes, op: str, params: dict) -> tuple:
                 idx, pal = _decode_gif_frame0(blob)
                 out = _encode_gif(_resize_nearest(idx, w, h), pal)
             elif fmt == "jpeg":
-                # baseline JPEG huffman+DCT implemented in textquality.jpeg
-                # (pure numpy); progressive/arithmetic raise there and land
-                # as 'unsupported'
+                # JPEG huffman+DCT implemented in textquality.jpeg (pure
+                # numpy, baseline + progressive); arithmetic/lossless
+                # raise there and land as 'unsupported'
                 from .jpeg import decode_jpeg, encode_jpeg
 
                 out = encode_jpeg(

@@ -1,4 +1,5 @@
-"""Baseline JPEG codec tests (round 4): the decoder is checked against a
+"""JPEG codec tests (baseline round 4, progressive round 5): the decoder
+is checked against a
 hand-crafted, encoder-independent single-block fixture (every byte written
 out in the test from the T.81 rules), flat fields round-trip EXACTLY at
 quality 100, smooth content is error-bounded, and restart/subsampling/
@@ -128,11 +129,20 @@ def test_unsupported_vs_malformed_classification():
     img = np.full((8, 8, 3), 90, dtype=np.uint8)
     good = encode_jpeg(img, quality=90)
 
-    progressive = bytearray(good)
-    i = progressive.find(b"\xff\xc0")
-    progressive[i + 1] = 0xC2                       # SOF0 -> SOF2
-    assert _transform_one("u", bytes(progressive), "resize",
+    arithmetic = bytearray(good)
+    i = arithmetic.find(b"\xff\xc0")
+    arithmetic[i + 1] = 0xC9                        # SOF0 -> SOF9 (arith)
+    assert _transform_one("u", bytes(arithmetic), "resize",
                           {"width": 2, "height": 2})[4] == "unsupported"
+
+    # SOF2 is DECODED since round 5 — but a SOF2 frame whose scan carries
+    # a baseline-style header (Ss=0, Se=63) is malformed per annex G
+    # (progressive scans are DC-only or AC-band), so the old flipped-marker
+    # probe now classifies 'error', not 'unsupported'
+    flipped = bytearray(good)
+    flipped[i + 1] = 0xC2
+    assert _transform_one("u", bytes(flipped), "resize",
+                          {"width": 2, "height": 2})[4] == "error"
 
     truncated = good[: len(good) // 2]
     assert _transform_one("u", truncated, "resize",
@@ -161,3 +171,89 @@ def test_resize_through_transform_is_real():
     # two-tone flat halves survive resize + requantization nearly exactly
     assert np.max(np.abs(px[:, :2].astype(int) - [200, 60, 60])) <= 4
     assert np.max(np.abs(px[:, 2:].astype(int) - [60, 60, 200])) <= 4
+
+
+# ------------------------------------------------- progressive (round 5) ----
+
+
+def test_progressive_decode_equals_baseline_exactly():
+    """The bit-reorder identity: progressive coding permutes the entropy
+    bits but carries the SAME quantized coefficients, so the decoded
+    pixels of encode_jpeg_progressive and encode_jpeg must match EXACTLY
+    (any scan-logic slip desyncs the huffman stream and errors instead).
+    Covers odd dimensions, 4:2:0 subsampling (padded luma MCU grid vs
+    tight AC-scan grid), multiple qualities, and a flat field."""
+    from dq_true_north_spark.textquality.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (16, 16, 3)).astype(np.uint8), 90, False),
+        (rng.integers(0, 256, (24, 17, 3)).astype(np.uint8), 75, False),
+        ((np.arange(33 * 20 * 3).reshape(33, 20, 3) % 256).astype(np.uint8),
+         90, True),
+        (rng.integers(0, 256, (20, 33, 3)).astype(np.uint8), 50, True),
+        (np.full((8, 8, 3), 130, np.uint8), 100, False),
+        (rng.integers(0, 256, (9, 9, 3)).astype(np.uint8), 95, True),
+    ]
+    for img, q, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        blob = encode_jpeg_progressive(img, quality=q, subsample=sub)
+        assert blob.find(b"\xff\xc2") > 0               # really SOF2
+        assert blob.count(b"\xff\xda") >= 10            # really multi-scan
+        assert np.array_equal(decode_jpeg(blob), base), (q, sub, img.shape)
+
+
+def test_progressive_ac_refinement_eob_runs_multiblock():
+    """AC successive-approximation refinement across blocks — the part of
+    annex G where every off-by-one lives (EOB runs covering whole blocks,
+    buffered correction bits riding after the next EOBn/ZRL symbol, runs
+    that count only zero-history positions). Scan-level roundtrips on
+    planted block patterns: all-empty (pure EOB run), empty-sandwich,
+    sparse-tiny (newly-significant only), dense-tiny, sparse-large
+    (history-heavy)."""
+    from dq_true_north_spark.textquality import jpeg as J
+
+    rng = np.random.default_rng(1)
+    tab = J._build_decode_table(J._PAC_COUNTS, J._PAC_SYMS)
+
+    def mk(density, scale=30):
+        v = np.zeros(64, np.int64)
+        nz = rng.random(63) < density
+        v[1:][nz] = rng.integers(-scale, scale + 1, nz.sum())
+        return v
+
+    patterns = [
+        [mk(0.0) for _ in range(5)],
+        [mk(0.3), mk(0.0), mk(0.0), mk(0.3)],
+        [mk(0.02, 3) for _ in range(10)],
+        [mk(0.6), mk(0.01, 2), mk(0.0), mk(0.9)],
+        [mk(0.05, 100) for _ in range(8)],
+        [mk(0.5, 2) for _ in range(6)],
+    ]
+    for vecs in patterns:
+        stores = [np.zeros(64, np.int64) for _ in vecs]
+        for al, enc, dec in ((2, J._enc_ac_first, J._prog_ac_first),
+                             (1, J._enc_ac_refine, J._prog_ac_refine),
+                             (0, J._enc_ac_refine, J._prog_ac_refine)):
+            w = J._BitWriter()
+            enc(w, vecs, 1, 63, al)
+            w.flush()
+            r = J._BitReader(bytes(w.out))
+            eobrun = 0
+            for s in stores:
+                eobrun = dec(r, s, 1, 63, al, tab, eobrun)
+        for s, v in zip(stores, vecs):
+            assert np.array_equal(s[1:], v[1:])
+
+
+def test_progressive_through_media_transform():
+    """A progressive stream flows through the transform operator as 'ok'
+    now (round 5) — resize decodes SOF2 for real and re-encodes."""
+    from dq_true_north_spark.textquality.jpeg import encode_jpeg_progressive
+
+    img = (np.arange(24 * 16 * 3).reshape(24, 16, 3) % 200).astype(np.uint8)
+    blob = encode_jpeg_progressive(img, quality=85)
+    row = _transform_one("u", blob, "resize", {"width": 4, "height": 6})
+    assert row[4] == "ok"
+    out = decode_jpeg(row[1])
+    assert out.shape == (6, 4, 3)
