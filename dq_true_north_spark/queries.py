@@ -86,6 +86,7 @@ _DRIVER_WINDOW = 50
 # queries). Entries registered but NOT listed here form the tail — each is
 # near-redundant with an in-window entry and keeps full local-pytest parity:
 #   minhash_pairs_pages   — exercised transitively by near_dup_clusters_pages
+#                           (both mirror-ORACLED at sf0.01 since round 5)
 #   simhash_pairs_pages   — second LSH family; planted + invariance tests
 #   ann_lsh_embeddings    — second ANN family; recall tests (ann_ivf is in)
 #   ann_pq_embeddings     — third ANN family (product quantization); recall
@@ -1446,7 +1447,9 @@ def q_minhash_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates over the synthetic corpus — finds the
     planted exact-dup pairs (class 7/8) with est_jaccard 1.0. Signatures are
     computed without exploding shingles; the band groupBy is the only
-    shuffle (see dedup.py)."""
+    shuffle (see dedup.py). Oracle-checked at sf0.01 since round 5: the
+    expected pairs come from the independent scalar xxhash64 mirror
+    (_register_minhash_oracles / dedup_mirror.py)."""
     from .corpus import n_pages_for_sf, pages_df
     from .textquality.dedup import minhash_candidate_pairs
 
@@ -1481,8 +1484,11 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (min-label propagation) → (doc, cluster_id, is_representative).
     The step between pair generation and actually dropping duplicates —
     keep-one-per-cluster with the same min-key tie-break as exact dedup.
-    Iterative (driver-controlled loop) → rows-only driver check; planted
-    ground truth is asserted in tests/test_dedup_similarity.py."""
+    Although the Spark algorithm is iterative, its OUTPUT is a pure
+    function of the pair graph, so since round 5 the sf0.01 driver check
+    is a full hash oracle: union-find over the scalar-mirror pairs
+    (_register_minhash_oracles). Planted ground truth remains asserted in
+    tests/test_dedup_similarity.py."""
     from pyspark.sql import functions as F
 
     from .corpus import n_pages_for_sf, pages_df
@@ -1857,7 +1863,7 @@ def _register_media_meta_oracle() -> None:
     )
 
 
-def _register_pages_verdicts_oracle() -> None:
+def _register_pages_verdicts_oracle(pages_pdf) -> None:
     """Flagship upgraded from rows-only (VERDICT r4 #1): the expected
     verdicts for the 10,000-page sf0.01 corpus are computed driver-side by
     the INDEPENDENT golden reference (tests/golden.py — python `re`
@@ -1885,8 +1891,6 @@ def _register_pages_verdicts_oracle() -> None:
 
     import numpy as np
 
-    from .corpus import generate_pages_pdf
-
     def chain(x: float, nd_model: int, nd_disp: int) -> float:
         # np.round(x, nd_model) inside the UDF, floor-based round4 at
         # nd_disp applied by the query — mirrored exactly
@@ -1896,7 +1900,7 @@ def _register_pages_verdicts_oracle() -> None:
     def esc(s: str) -> str:
         return s.replace("'", "''")
 
-    g = golden_verdicts(generate_pages_pdf(10_000))
+    g = golden_verdicts(pages_pdf)
     rows = []
     for t in g.itertuples(index=False):
         rows.append(
@@ -1913,6 +1917,49 @@ def _register_pages_verdicts_oracle() -> None:
         f"FROM (VALUES {', '.join(rows)}) t(url, warc_ts, keep, "
         "drop_reasons, pred_lang, lang_confidence, perplexity, "
         "scrubbed_text)"
+    )
+
+
+def _register_minhash_oracles(pages_pdf) -> None:
+    """minhash_pairs_pages + near_dup_clusters_pages upgraded from
+    rows-only (round 5): the scalar/numpy mirror of the MinHash → banding
+    → bucket → pair → cluster pipeline (textquality/dedup_mirror.py, built
+    on the pure-Python xxhash64 that is pinned bit-identical to the JVM's)
+    computes the expected outputs over the same 10,000-page corpus, frozen
+    into VALUES oracles. This closes the last non-iterative rows-only
+    entries in the driver window — and the mirror already paid for itself
+    before landing: building it exposed that the production signature's
+    `lambda s, i=i` default-arg capture was being treated by F.transform
+    as the (element, index) form, collapsing all 64 permutations into one
+    (dedup.py::_perm_hash). ~2 s, shared corpus with the flagship
+    oracle."""
+    from .textquality.dedup_mirror import (
+        minhash_pairs_mirror,
+        near_dup_clusters_mirror,
+    )
+
+    urls = list(pages_pdf["url"])
+    texts = list(pages_pdf["text"])
+    pairs = minhash_pairs_mirror(urls, texts)
+    clusters = near_dup_clusters_mirror(pairs)
+
+    def esc(x: str) -> str:
+        return x.replace("'", "''")
+
+    pair_vals = ", ".join(
+        f"('{esc(a)}', '{esc(b)}', {e!r})" for a, b, e in pairs
+    )
+    _REGISTRY["minhash_pairs_pages"]["oracle"] = (
+        "SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS est_jaccard "
+        f"FROM (VALUES {pair_vals}) t(doc_a, doc_b, est_jaccard)"
+    )
+    cl_vals = ", ".join(
+        f"('{esc(d)}', '{esc(c)}', {r})" for d, c, r in clusters
+    )
+    _REGISTRY["near_dup_clusters_pages"]["oracle"] = (
+        "SELECT doc, cluster_id, "
+        "CAST(is_representative AS INT) AS is_representative "
+        f"FROM (VALUES {cl_vals}) t(doc, cluster_id, is_representative)"
     )
 
 
@@ -1942,7 +1989,11 @@ def _register_spec_value_oracles() -> None:
 
     sf_dir = os.environ.get("DQ_TEST_SF_DIR", "/root/testdata/sf0.01")
     if "0.01" in sf_dir:
-        _register_pages_verdicts_oracle()   # flagship: golden-derived
+        from .corpus import generate_pages_pdf
+
+        pages_pdf = generate_pages_pdf(10_000)   # shared by both oracles
+        _register_pages_verdicts_oracle(pages_pdf)   # flagship: golden
+        _register_minhash_oracles(pages_pdf)         # LSH mirror (r5)
         # pipeline summary over the 10,000-page sf0.01 corpus, frozen from
         # tests/golden.py (the reference-faithful pure-Python pipeline,
         # ~6 s to recompute — too slow for registry time, so the one row

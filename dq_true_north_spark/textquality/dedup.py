@@ -53,15 +53,29 @@ def shingle_col(text_col: str, k: int = C.MINHASH_SHINGLE_WORDS):
     return F.array_distinct(F.expr(word_ngrams(SPARK, words, k)))
 
 
+def _perm_hash(i: int):
+    """Permutation-i hash as a PROPER closure. The tempting default-arg
+    capture (`lambda s, i=i: ...`) is a trap PySpark springs silently:
+    F.transform inspects the lambda's arity, a two-parameter lambda is the
+    (element, index) form, and `i` gets bound to the ARRAY INDEX — every
+    "permutation" collapses to the one expression xxhash64(s, pos(s)) and
+    the 64-perm signature degenerates to a single effective permutation
+    (est_jaccard becomes 0-or-1, near-dups at 0.8 <= J < 1 are invisible,
+    and same-class corpus docs collide into false 1.0 pairs). Caught in
+    round 5 by the scalar xxh mirror (dedup_mirror.py), which computed the
+    INTENDED signatures and disagreed with production; pinned by
+    test_minhash_signature_is_not_degenerate and the mirror-equality
+    tests."""
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
 def with_minhash(df: DataFrame, text_col: str = "text",
                  n_perms: int = C.MINHASH_PERMS) -> DataFrame:
     """Adds `shingles` and a `minhash` array<long> signature column."""
     df = df.withColumn("shingles", shingle_col(text_col))
     sig = F.array(
         *[
-            F.array_min(
-                F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform("shingles", _perm_hash(i)))
             for i in range(n_perms)
         ]
     )

@@ -1,0 +1,191 @@
+"""Scalar/numpy mirror of the MinHash→LSH→cluster pipeline (round 5) —
+the independent spec used to generate DuckDB VALUES oracles for
+`minhash_pairs_pages` and `near_dup_clusters_pages`, which until now were
+the driver window's only rows-only entries besides iterative k-means.
+
+Fidelity contract (every step mirrors dedup.py exactly; any divergence
+hash-fails the driver check, and tests/test_dedup_similarity.py pins the
+mirror against the production Spark output at two corpus sizes):
+
+  shingling  — lower + split on ASCII/Java `\\s+` + non-empty filter,
+               distinct 3-word space-joined shingles (spec.word_ngrams);
+  signature  — minhash[i] = SIGNED min over shingles of
+               xxhash64(shingle, lit(i)): one batched UTF-8 hash per
+               shingle, then the vectorized 4-byte chain over all
+               (shingle, perm) cells with np.minimum.reduceat per doc
+               (the langmodel batch shape);
+  banding    — band_hash = xxhash64(m[4j], .., m[4j+3], lit(j)): four
+               vectorized 8-byte chains + one 4-byte chain;
+  buckets    — size 2..max_bucket, members sorted by (doc, minhash) —
+               Spark's sort_array(struct(doc, minhash)) ordering;
+  pairs      — upper-triangle expansion, self-pair filter (duplicate
+               urls), cross-band dedup, est_jaccard = round4(matches/64)
+               with the >= threshold filter;
+  clusters   — connected components, cluster_id = lexicographically
+               smallest member (union-find here; the Spark side's label
+               propagation and star contraction are both already pinned
+               equal to union-find).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from .. import constants as C
+from .xxh import SPARK_SEED, hash_int_v, hash_long_v, xxh64_batch
+
+# Java \s (used by Spark's split regex) is ASCII-only: [ \t\n\x0B\f\r].
+# Python \s would additionally match unicode spaces — spelled out so the
+# two tokenizations can never diverge on e.g. NBSP.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _shingles(text: str, k: int = C.MINHASH_SHINGLE_WORDS) -> list[str]:
+    words = [w for w in _JAVA_WS.split(text.lower()) if w != ""]
+    if len(words) < k:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(words) - k + 1):
+        s = " ".join(words[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def minhash_signatures(texts: list[str],
+                       n_perms: int = C.MINHASH_PERMS) -> np.ndarray:
+    """(n_docs, n_perms) int64 signatures. Docs with no shingles get
+    np.iinfo(int64).min sentinel columns? No — they get the Spark NULL
+    semantics handled by callers; here such rows are returned as all
+    int64.min and callers must mask them via the returned counts.
+    Implementation: one scalar UTF-8 hash per DISTINCT shingle occurrence
+    (seeding the chain), then ALL (shingle, perm) cells in one vectorized
+    4-byte pass, min-reduced per document with np.minimum.reduceat."""
+    shingle_bytes: list[bytes] = []
+    bounds: list[int] = [0]
+    for t in texts:
+        for s in _shingles(t):
+            shingle_bytes.append(s.encode("utf-8"))
+        bounds.append(len(shingle_bytes))
+    if not shingle_bytes:
+        return np.full((len(texts), n_perms), np.iinfo(np.int64).min,
+                       dtype=np.int64)
+    seed_arr = xxh64_batch(shingle_bytes, SPARK_SEED)      # (n_sh,)
+    starts = np.array(bounds[:-1])
+    # reduceat needs non-empty segments; empty docs are patched after
+    nonempty = np.diff(bounds) > 0
+    safe_starts = np.where(nonempty, starts, 0)
+    mins = np.empty((len(texts), n_perms), dtype=np.int64)
+    # per-perm flat pass, not a (n_sh, 64) broadcast: the flat arrays fit
+    # cache and skip the 3 GB of broadcast temporaries (measured 8.4 s →
+    # ~0.7 s for 600k shingles)
+    for i in range(n_perms):
+        col = hash_int_v(np.uint64(i), seed_arr).view(np.int64)
+        mins[:, i] = np.minimum.reduceat(col, safe_starts)
+    mins[~nonempty] = np.iinfo(np.int64).min    # sentinel, masked by caller
+    return mins
+
+
+def _band_hashes(sig: np.ndarray, bands: int = C.MINHASH_BANDS) -> np.ndarray:
+    """(n_docs, bands) int64 band keys: xxhash64(m0..m3, lit(band))."""
+    n_perms = sig.shape[1]
+    r = n_perms // bands
+    m = sig.view(np.uint64).reshape(sig.shape[0], bands, r)
+    seeds = np.full((sig.shape[0], bands), SPARK_SEED, dtype=np.uint64)
+    for t in range(r):
+        seeds = hash_long_v(m[:, :, t], seeds)
+    j = np.arange(bands, dtype=np.uint64).reshape(1, -1)
+    return hash_int_v(j, seeds).view(np.int64)
+
+
+def minhash_pairs_mirror(
+    urls: list[str],
+    texts: list[str],
+    bands: int = C.MINHASH_BANDS,
+    n_perms: int = C.MINHASH_PERMS,
+    threshold: float = C.JACCARD_THRESHOLD,
+    max_bucket: int = 64,
+) -> list[tuple[str, str, float]]:
+    """(doc_a, doc_b, est_jaccard) — the scalar rendering of
+    minhash_candidate_pairs. doc_a < doc_b (bucket members are sorted by
+    (doc, signature), equal-url self-pairs filtered), est_jaccard floor-
+    rounded to 4 decimals like round4_col."""
+    has_shingles = [len(_shingles(t)) > 0 for t in texts]
+    sig = minhash_signatures(texts, n_perms)
+    bh = _band_hashes(sig, bands)
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d in range(len(urls)):
+        if not has_shingles[d]:
+            # Spark: all-NULL minhash → band hash = hash of lit(j) alone;
+            # absent from the synthetic corpus, mirrored for completeness
+            h = SPARK_SEED
+            for j in range(bands):
+                hj = hash_int_v(np.array([j], np.uint64),
+                                np.array([h], np.uint64)).view(np.int64)[0]
+                buckets.setdefault((j, int(hj)), []).append(d)
+            continue
+        for j in range(bands):
+            buckets.setdefault((j, int(bh[d, j])), []).append(d)
+
+    pairs: dict[tuple[str, str], float] = {}
+    for (_j, _h), members in buckets.items():
+        if not (2 <= len(members) <= max_bucket):
+            continue
+        members = sorted(members, key=lambda d: (urls[d], tuple(sig[d])))
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                if urls[a] == urls[b]:
+                    continue
+                key = (urls[a], urls[b])
+                if key in pairs:
+                    continue
+                if has_shingles[a] and has_shingles[b]:
+                    matches = int(np.sum(sig[a] == sig[b]))
+                else:
+                    matches = 0              # NULL == NULL is NULL in SQL
+                est = math.floor(matches / n_perms * 1e4 + 0.5) / 1e4
+                pairs[key] = est
+    return sorted(
+        (a, b, est) for (a, b), est in pairs.items() if est >= threshold
+    )
+
+
+def near_dup_clusters_mirror(
+    pairs: list[tuple[str, str, float]],
+) -> list[tuple[str, str, int]]:
+    """(doc, cluster_id, is_representative) — union-find over the pair
+    graph, cluster_id = smallest member string; node set = docs appearing
+    in at least one pair (the Spark side's label frame is built from the
+    edge list)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    members: dict[str, list[str]] = {}
+    for d in parent:
+        members.setdefault(find(d), []).append(d)
+    out = []
+    for root, docs in members.items():
+        label = min(docs)
+        for d in docs:
+            out.append((d, label, int(d == label)))
+    return sorted(out)
