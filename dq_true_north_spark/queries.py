@@ -88,6 +88,7 @@ _DRIVER_WINDOW = 50
 #   minhash_pairs_pages   — exercised transitively by near_dup_clusters_pages
 #                           (both mirror-ORACLED at sf0.01 since round 5)
 #   simhash_pairs_pages   — second LSH family; planted + invariance tests
+#                           (mirror-ORACLED at sf0.01 since round 5)
 #   ann_lsh_embeddings    — second ANN family; recall tests (ann_ivf is in)
 #   ann_pq_embeddings     — third ANN family (product quantization); recall
 #                           + determinism tests
@@ -1459,7 +1460,9 @@ def q_minhash_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @df_query("simhash_pairs_pages")
 def q_simhash_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3) via 16-bit chunk bucketing."""
+    """SimHash near-dup pairs (hamming <= 3) via 16-bit chunk bucketing.
+    Oracle-checked at sf0.01 since round 5 via the scalar xxhash64 mirror
+    (dedup_mirror.simhash_pairs_mirror)."""
     from .corpus import n_pages_for_sf, pages_df
     from .textquality.dedup import simhash_near_pairs
 
@@ -1921,8 +1924,9 @@ def _register_pages_verdicts_oracle(pages_pdf) -> None:
 
 
 def _register_minhash_oracles(pages_pdf) -> None:
-    """minhash_pairs_pages + near_dup_clusters_pages upgraded from
-    rows-only (round 5): the scalar/numpy mirror of the MinHash → banding
+    """minhash_pairs_pages + near_dup_clusters_pages + simhash_pairs_pages
+    upgraded from rows-only (round 5): the scalar/numpy mirror of the
+    MinHash → banding
     → bucket → pair → cluster pipeline (textquality/dedup_mirror.py, built
     on the pure-Python xxhash64 that is pinned bit-identical to the JVM's)
     computes the expected outputs over the same 10,000-page corpus, frozen
@@ -1960,6 +1964,18 @@ def _register_minhash_oracles(pages_pdf) -> None:
         "SELECT doc, cluster_id, "
         "CAST(is_representative AS INT) AS is_representative "
         f"FROM (VALUES {cl_vals}) t(doc, cluster_id, is_representative)"
+    )
+
+    # simhash_pairs_pages reads the FIRST 4,000 pages of the same corpus
+    from .textquality.dedup_mirror import simhash_pairs_mirror
+
+    sh_pairs = simhash_pairs_mirror(urls[:4_000], texts[:4_000])
+    sh_vals = ", ".join(
+        f"('{esc(a)}', '{esc(b)}', {h})" for a, b, h in sh_pairs
+    )
+    _REGISTRY["simhash_pairs_pages"]["oracle"] = (
+        "SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming "
+        f"FROM (VALUES {sh_vals}) t(doc_a, doc_b, hamming)"
     )
 
 

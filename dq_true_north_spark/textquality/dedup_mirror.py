@@ -1,7 +1,8 @@
-"""Scalar/numpy mirror of the MinHash→LSH→cluster pipeline (round 5) —
-the independent spec used to generate DuckDB VALUES oracles for
-`minhash_pairs_pages` and `near_dup_clusters_pages`, which until now were
-the driver window's only rows-only entries besides iterative k-means.
+"""Scalar/numpy mirror of the MinHash→LSH→cluster AND SimHash pipelines
+(round 5) — the independent spec used to generate DuckDB VALUES oracles
+for `minhash_pairs_pages`, `near_dup_clusters_pages` and
+`simhash_pairs_pages`, which until now were rows-only entries (the first
+two sat in the driver window; only iterative k-means remains rows-only).
 
 Fidelity contract (every step mirrors dedup.py exactly; any divergence
 hash-fails the driver check, and tests/test_dedup_similarity.py pins the
@@ -59,13 +60,12 @@ def _shingles(text: str, k: int = C.MINHASH_SHINGLE_WORDS) -> list[str]:
 
 def minhash_signatures(texts: list[str],
                        n_perms: int = C.MINHASH_PERMS) -> np.ndarray:
-    """(n_docs, n_perms) int64 signatures. Docs with no shingles get
-    np.iinfo(int64).min sentinel columns? No — they get the Spark NULL
-    semantics handled by callers; here such rows are returned as all
-    int64.min and callers must mask them via the returned counts.
-    Implementation: one scalar UTF-8 hash per DISTINCT shingle occurrence
-    (seeding the chain), then ALL (shingle, perm) cells in one vectorized
-    4-byte pass, min-reduced per document with np.minimum.reduceat."""
+    """(n_docs, n_perms) int64 signatures. Docs with no shingles are
+    returned as all-int64.min SENTINEL rows (Spark's signature there is
+    all-NULL) — callers must mask them via their own shingle check.
+    Implementation: one batched UTF-8 hash per shingle (seeding the
+    chain), then a flat vectorized 4-byte pass per permutation,
+    min-reduced per document with np.minimum.reduceat."""
     shingle_bytes: list[bytes] = []
     bounds: list[int] = [0]
     for t in texts:
@@ -189,3 +189,73 @@ def near_dup_clusters_mirror(
         for d in docs:
             out.append((d, label, int(d == label)))
     return sorted(out)
+
+
+# ------------------------------------------------------------- SimHash -----
+
+
+def simhash_signatures(texts: list[str]) -> np.ndarray:
+    """(n_docs,) int64 SimHash signatures — the scalar rendering of
+    with_simhash: distinct lowercase words (Java \\s split), one
+    single-argument xxhash64 per word (batched), ±1 bit-matrix sum per
+    doc, sign → bit. Same reduceat shape as the production numpy fold."""
+    word_bytes: list[bytes] = []
+    bounds = [0]
+    for t in texts:
+        seen: set[str] = set()
+        for w in _JAVA_WS.split(t.lower()):
+            if w != "" and w not in seen:
+                seen.add(w)
+                word_bytes.append(w.encode("utf-8"))
+        bounds.append(len(word_bytes))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not word_bytes:
+        return out.view(np.int64)
+    hashes = xxh64_batch(word_bytes, SPARK_SEED)
+    shifts = np.arange(64, dtype=np.uint64)
+    pm = (((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+          * 2 - 1)
+    starts = np.array(bounds[:-1])
+    nonempty = np.diff(bounds) > 0
+    safe_starts = np.where(nonempty, starts, 0)
+    sums = np.add.reduceat(pm, safe_starts, axis=0)
+    bits = (sums > 0).astype(np.uint64)
+    vals = (bits << shifts).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = vals[nonempty]
+    return out.view(np.int64)
+
+
+def simhash_pairs_mirror(
+    urls: list[str],
+    texts: list[str],
+    max_hamming: int = C.SIMHASH_HAMMING_MAX,
+    max_bucket: int = 64,
+) -> list[tuple[str, str, int]]:
+    """(doc_a, doc_b, hamming) — the scalar rendering of
+    simhash_near_pairs: 4 x 16-bit chunk buckets (pigeonhole for
+    distance <= max_hamming), size-capped, members sorted by
+    (doc, simhash), popcount-of-xor verification."""
+    sig = simhash_signatures(texts)
+    u = sig.view(np.uint64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d in range(len(urls)):
+        for k in range(4):
+            chunk = int((u[d] >> np.uint64(16 * k)) & np.uint64(0xFFFF))
+            buckets.setdefault((k, chunk), []).append(d)
+    pairs: dict[tuple[str, str], int] = {}
+    for (_k, _c), members in buckets.items():
+        if not (2 <= len(members) <= max_bucket):
+            continue
+        members = sorted(members, key=lambda d: (urls[d], int(sig[d])))
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                if urls[a] == urls[b]:
+                    continue
+                key = (urls[a], urls[b])
+                if key in pairs:
+                    continue
+                pairs[key] = int(bin(int(u[a]) ^ int(u[b])).count("1"))
+    return sorted(
+        (a, b, h) for (a, b), h in pairs.items() if h <= max_hamming
+    )

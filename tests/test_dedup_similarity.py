@@ -911,3 +911,42 @@ def test_minhash_mirror_equals_spark_pipeline(spark):
          int(r["doc"] == r["cluster_id"]))
         for r in near_dup_clusters(sp_pairs_df).collect())
     assert sp_clusters == mirror_clusters
+
+
+def test_simhash_mirror_equals_spark_pipeline(spark):
+    """The SimHash scalar mirror reproduces the production chunk-bucketed
+    pair pipeline exactly on the 2,000-page corpus — signature fold, 16-bit
+    chunk buckets, cap, hamming verification."""
+    from dq_true_north_spark.corpus import generate_pages_pdf, pages_df
+    from dq_true_north_spark.textquality.dedup import (
+        simhash_near_pairs,
+        with_simhash,
+    )
+    from dq_true_north_spark.textquality.dedup_mirror import (
+        simhash_pairs_mirror,
+        simhash_signatures,
+    )
+
+    pdf = generate_pages_pdf(2_000)
+    pages = pages_df(spark, 2_000)
+
+    # signature-level identity on a sample (cheap, pins the fold itself).
+    # Keyed by url, so the class-13 planted duplicate urls (two rows, two
+    # texts, one url) are excluded — they'd collide in the dict, not in
+    # the pipeline.
+    from collections import Counter
+
+    url_counts = Counter(pdf["url"])
+    sample = pages.limit(200)
+    sp_sig = {r["url"]: r["simhash"]
+              for r in with_simhash(sample).select("url", "simhash").collect()}
+    mirror_sig = simhash_signatures(list(pdf["text"][:200]))
+    for i, u in enumerate(pdf["url"][:200]):
+        if url_counts[u] == 1:
+            assert sp_sig[u] == int(mirror_sig[i]), u
+
+    sp_pairs = sorted((r["doc_a"], r["doc_b"], r["hamming"])
+                      for r in simhash_near_pairs(
+                          pages, id_col="url", text_col="text").collect())
+    assert sp_pairs == simhash_pairs_mirror(list(pdf["url"]),
+                                            list(pdf["text"]))

@@ -66,6 +66,8 @@ def test_window_is_oracle_dense():
         "ngram_jaccard_pairs",         # 1-row, near-redundant with
                                        # benchmark_contamination (r5 swap
                                        # that put doc_chunks in-window)
+        "simhash_pairs_pages",         # mirror-oracled (r5); second LSH
+                                       # family, planted + invariance tests
         "token_budget_packs",          # spec form of ..._sharded (in-window)
     ], f"unplanned oracled queries in the tail: {oracled_tail}"
 
