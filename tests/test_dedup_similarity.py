@@ -950,3 +950,46 @@ def test_simhash_mirror_equals_spark_pipeline(spark):
                           pages, id_col="url", text_col="text").collect())
     assert sp_pairs == simhash_pairs_mirror(list(pdf["url"]),
                                             list(pdf["text"]))
+
+
+def test_minhash_mirror_edge_cases_vs_spark(spark):
+    """Mirror-vs-Spark on inputs the synthetic corpus never produces:
+    docs with no shingles (empty / one- / two-word texts → all-NULL Spark
+    signatures, sharing the hash-of-lit(j) band buckets), NBSP (a UNICODE
+    space: Java \\s does NOT split on it, and the mirror's explicit ASCII
+    class must agree), apostrophes/quotes (VALUES escaping path), and
+    exact duplicates. The pair sets must match exactly."""
+    from dq_true_north_spark.textquality.dedup import minhash_candidate_pairs
+    from dq_true_north_spark.textquality.dedup_mirror import (
+        minhash_pairs_mirror,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [
+        ("d01", ""),
+        ("d02", "one"),
+        ("d03", "two words"),
+        ("d04", "also two"),                       # second no-shingle doc
+        ("d05", base),
+        ("d06", base),                             # exact dup of d05
+        ("d07", base + " today"),                  # near dup
+        ("d08", "it's a \"quoted\" o'clock affair don't you think so sir"),
+        ("d09", "it's a \"quoted\" o'clock affair don't you think so sir"),
+        ("d10", "nbsp glued words stay one token here right now ok"),
+        ("d11", "nbsp glued words stay one token here right now ok"),
+        ("d12", "tab\tsplit\nand newline words make shingles too you know"),
+    ]
+    df = spark.createDataFrame(docs, "url string, text string")
+    sp = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_candidate_pairs(df, id_col="url",
+                                         text_col="text").collect()
+    )
+    mirror = minhash_pairs_mirror([d for d, _ in docs],
+                                  [t for _, t in docs])
+    assert sp == mirror
+    # the planted relations actually surfaced (not a vacuous equality)
+    pair_ids = {(a, b) for a, b, _ in mirror}
+    assert ("d05", "d06") in pair_ids
+    assert ("d08", "d09") in pair_ids
+    assert ("d10", "d11") in pair_ids
