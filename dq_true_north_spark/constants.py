@@ -95,8 +95,16 @@ TOXICITY_REPLACEMENT = "<TOX>"
 
 # ------------------------------------------------------------ token counting
 # BPE-ish tokenizer regex (GPT-2 flavored, lookahead-free so it is valid in
-# Java regex, RE2 and Python re alike).
-BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# Java regex, RE2 and Python re alike). Whitespace is an EXPLICIT ASCII
+# class, never \s: the three engines disagree on \s membership (Java
+# includes \x0B where RE2 does not; Python \s is Unicode-wide), so a \s
+# form made doc_chunks_tokens/doc_token_counts diverge between the Spark
+# arm and the DuckDB oracle on vertical-tab input (round-5 review catch).
+_ASCII_WS = r" \t\n\x0B\f\r"
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_ASCII_WS}]+|[{_ASCII_WS}]+"
+)
 
 # ----------------------------------------------------------------- dedup/LSH
 MINHASH_PERMS = 64

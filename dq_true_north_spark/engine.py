@@ -148,7 +148,11 @@ def run_catalog(
     if sources:
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
-        with _TPE(max_workers=len(sources)) as warm_pool:
+        # capped like the rule dispatch below — a 50-source catalog must
+        # not launch 50 simultaneous count jobs competing for the same
+        # cores (the local-JVM anti-scaling trap)
+        workers = min(len(sources), max(parallelism, 1))
+        with _TPE(max_workers=workers) as warm_pool:
             cached = [t for t in warm_pool.map(_warm, sources) if t]
 
     try:

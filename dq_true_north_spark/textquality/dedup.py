@@ -131,7 +131,16 @@ def _bucketed(keyed: DataFrame, payload_cols: list[str],
 def _pairs_from_buckets(buckets: DataFrame, max_bucket: int,
                         a_cols: dict, b_cols: dict) -> DataFrame:
     """Within-bucket pair expansion (buckets arrive pre-pruned to
-    2..max_bucket members; the filter is a cheap defensive recheck)."""
+    2..max_bucket members; the filter is a cheap defensive recheck).
+
+    Deliberately NO cross-band dedup here: a (doc_a, doc_b) pair can
+    surface from several bands — and, when an id is non-unique (the
+    corpus's class-13 url reuse), with DIFFERENT payload signatures.
+    A dropDuplicates at this layer would keep a partition-order-dependent
+    row (the CLAUDE.md never-first()-unordered rule; round-5 review catch
+    — the frozen mirror oracles would hash-flake). Callers compute their
+    score per row and reduce per pair with a DETERMINISTIC aggregate
+    (max est / min hamming)."""
     usable = buckets.filter(
         (F.size("members") > 1) & (F.size("members") <= max_bucket)
     )
@@ -153,7 +162,6 @@ def _pairs_from_buckets(buckets: DataFrame, max_bucket: int,
         # would otherwise emit self-pairs, violating the id_a < id_b
         # contract (round-2 ADVICE #2)
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -223,7 +231,13 @@ def minhash_candidate_pairs(
             / F.lit(C.MINHASH_PERMS)
         ),
     )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
+    # per-pair deterministic reduction: multi-band duplicates carry the
+    # same est; duplicate-URL ids can carry DIFFERENT signatures — MAX is
+    # order-independent where a dropDuplicates pick would not be
+    agg = est.groupBy("doc_a", "doc_b").agg(
+        F.max("est_jaccard").alias("est_jaccard")
+    )
+    return agg.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", "est_jaccard"
     )
 
@@ -345,7 +359,12 @@ def simhash_near_pairs(
     ham = cand.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     )
-    return ham.filter(F.col("hamming") <= max_hamming).select(
+    # MIN per pair — deterministic across chunk multiplicity and
+    # duplicate-URL signature variants (see _pairs_from_buckets)
+    agg = ham.groupBy("doc_a", "doc_b").agg(
+        F.min("hamming").alias("hamming")
+    )
+    return agg.filter(F.col("hamming") <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
     )
 

@@ -20,7 +20,9 @@ mirror against the production Spark output at two corpus sizes):
   buckets    — size 2..max_bucket, members sorted by (doc, minhash) —
                Spark's sort_array(struct(doc, minhash)) ordering;
   pairs      — upper-triangle expansion, self-pair filter (duplicate
-               urls), cross-band dedup, est_jaccard = round4(matches/64)
+               urls), DETERMINISTIC per-pair reduction across bands and
+               duplicate-url signature variants (max est / min hamming —
+               the production aggregate), est_jaccard = round4(matches/64)
                with the >= threshold filter;
   clusters   — connected components, cluster_id = lexicographically
                smallest member (union-find here; the Spark side's label
@@ -77,17 +79,24 @@ def minhash_signatures(texts: list[str],
                        dtype=np.int64)
     seed_arr = xxh64_batch(shingle_bytes, SPARK_SEED)      # (n_sh,)
     starts = np.array(bounds[:-1])
-    # reduceat needs non-empty segments; empty docs are patched after
     nonempty = np.diff(bounds) > 0
-    safe_starts = np.where(nonempty, starts, 0)
-    mins = np.empty((len(texts), n_perms), dtype=np.int64)
+    # reduceat over the NON-EMPTY segments' starts only, scattered back.
+    # Never pass a placeholder start for empty docs: reduceat treats a
+    # non-increasing index pair as a single-element segment, which CORRUPTS
+    # THE PRECEDING DOC's reduction (it ends at the placeholder, returning
+    # its first shingle's hash instead of the min — the round-5 review
+    # catch, pinned by the empty-doc-after-nonempty edge-case test).
+    # Empty docs contribute no rows, so consecutive non-empty starts still
+    # delimit exactly one document's shingles.
+    mins = np.full((len(texts), n_perms), np.iinfo(np.int64).min,
+                   dtype=np.int64)
+    ne_starts = starts[nonempty]
     # per-perm flat pass, not a (n_sh, 64) broadcast: the flat arrays fit
     # cache and skip the 3 GB of broadcast temporaries (measured 8.4 s →
     # ~0.7 s for 600k shingles)
     for i in range(n_perms):
         col = hash_int_v(np.uint64(i), seed_arr).view(np.int64)
-        mins[:, i] = np.minimum.reduceat(col, safe_starts)
-    mins[~nonempty] = np.iinfo(np.int64).min    # sentinel, masked by caller
+        mins[nonempty, i] = np.minimum.reduceat(col, ne_starts)
     return mins
 
 
@@ -144,14 +153,16 @@ def minhash_pairs_mirror(
                 if urls[a] == urls[b]:
                     continue
                 key = (urls[a], urls[b])
-                if key in pairs:
-                    continue
                 if has_shingles[a] and has_shingles[b]:
                     matches = int(np.sum(sig[a] == sig[b]))
                 else:
                     matches = 0              # NULL == NULL is NULL in SQL
                 est = math.floor(matches / n_perms * 1e4 + 0.5) / 1e4
-                pairs[key] = est
+                # MAX per pair — mirrors the production deterministic
+                # aggregate (duplicate-URL ids can carry different
+                # signatures; first-wins would be bucket-order-dependent)
+                if est > pairs.get(key, -1.0):
+                    pairs[key] = est
     return sorted(
         (a, b, est) for (a, b), est in pairs.items() if est >= threshold
     )
@@ -217,11 +228,12 @@ def simhash_signatures(texts: list[str]) -> np.ndarray:
           * 2 - 1)
     starts = np.array(bounds[:-1])
     nonempty = np.diff(bounds) > 0
-    safe_starts = np.where(nonempty, starts, 0)
-    sums = np.add.reduceat(pm, safe_starts, axis=0)
+    # non-empty starts only — a placeholder start for a word-less doc
+    # would corrupt the PRECEDING doc's reduceat segment (see
+    # minhash_signatures)
+    sums = np.add.reduceat(pm, starts[nonempty], axis=0)
     bits = (sums > 0).astype(np.uint64)
-    vals = (bits << shifts).sum(axis=1, dtype=np.uint64)
-    out[nonempty] = vals[nonempty]
+    out[nonempty] = (bits << shifts).sum(axis=1, dtype=np.uint64)
     return out.view(np.int64)
 
 
@@ -253,9 +265,10 @@ def simhash_pairs_mirror(
                 if urls[a] == urls[b]:
                     continue
                 key = (urls[a], urls[b])
-                if key in pairs:
-                    continue
-                pairs[key] = int(bin(int(u[a]) ^ int(u[b])).count("1"))
+                h = int(bin(int(u[a]) ^ int(u[b])).count("1"))
+                # MIN per pair — mirrors the production aggregate
+                if h < pairs.get(key, 65):
+                    pairs[key] = h
     return sorted(
         (a, b, h) for (a, b), h in pairs.items() if h <= max_hamming
     )

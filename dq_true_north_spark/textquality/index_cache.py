@@ -81,6 +81,35 @@ def is_valid(path: str, subdirs: tuple[str, ...]) -> bool:
     )
 
 
+#: builds older than this are crash leftovers, safe to reclaim (a live
+#: build finishes in minutes; the uuid keeps racers from colliding)
+_STALE_BUILD_SECONDS = 3600.0
+
+
+def _sweep_stale_builds(root: str) -> None:
+    """Reclaim orphaned '<tag>.build-<uuid>' directories (a builder killed
+    between build_fn and cleanup leaves a full index-sized temp dir that
+    nothing else ever matches — round-5 review catch). Age-gated so a
+    concurrent in-flight build is never swept; errors are ignored (another
+    sweeper may be racing on the same orphan)."""
+    import time
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        if ".build-" not in name:
+            continue
+        p = os.path.join(root, name)
+        try:
+            if now - os.stat(p).st_mtime > _STALE_BUILD_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def ensure_index(
     path: str,
     subdirs: tuple[str, ...],
@@ -97,6 +126,7 @@ def ensure_index(
     lives inside the user-owned 0700 root, so it is ours to remove."""
     if is_valid(path, subdirs):
         return path
+    _sweep_stale_builds(os.path.dirname(path))
     tmp = f"{path}.build-{uuid.uuid4().hex}"
     try:
         build_fn(tmp)

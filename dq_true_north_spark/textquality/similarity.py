@@ -572,6 +572,41 @@ def pq_topk(
 # plain PQ scans every code for every query.
 
 
+def _ivfpq_build(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int,
+    m: int,
+    pq_k: int,
+    id_col: str,
+    vec_col: str,
+    train_iters: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the composed index ONCE: (centroids, codebooks,
+    codes-with-ccell). Shared by ivfpq_write_index and ann_ivfpq_topk's
+    in-memory branch — the recipe must stay identical or the
+    persisted-equals-in-memory contract breaks. Training shares ONE
+    normalized-subvector scan (localCheckpoint) between pq_train and
+    pq_encode — the pq_topk discipline."""
+    centroids = ivf_train_centroids(
+        embeddings, n_cells, id_col, vec_col, train_iters
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    assigned = _assign_cells(vecs, centroids).select(
+        "vid", F.col("cell").alias("ccell")
+    )
+    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col) \
+        .localCheckpoint(eager=True)
+    codebooks = pq_train(embeddings, dim, m, pq_k, id_col, vec_col,
+                         train_iters, subs=subs)
+    codes = pq_encode(embeddings, codebooks, dim, m, id_col, vec_col,
+                      subs=subs).join(assigned, "vid")
+    return centroids, codebooks, codes
+
+
 def ivfpq_write_index(
     embeddings: DataFrame,
     path: str,
@@ -590,27 +625,12 @@ def ivfpq_write_index(
         path/codes     – (vid, codes) parquet PARTITIONED BY ccell (the
                          coarse cell), so a probe's `ccell IN (...)` filter
                          prunes to n_probe/n_cells of the m-byte codes
-
-    Training shares ONE normalized-subvector scan (localCheckpoint) between
-    pq_train and pq_encode — the pq_topk discipline."""
-    centroids = ivf_train_centroids(
-        embeddings, n_cells, id_col, vec_col, train_iters
+    """
+    centroids, codebooks, codes = _ivfpq_build(
+        embeddings, dim, n_cells, m, pq_k, id_col, vec_col, train_iters
     )
-    vecs = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    assigned = _assign_cells(vecs, centroids).select(
-        "vid", F.col("cell").alias("ccell")
-    )
-    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col) \
-        .localCheckpoint(eager=True)
-    codebooks = pq_train(embeddings, dim, m, pq_k, id_col, vec_col,
-                         train_iters, subs=subs)
-    codes = pq_encode(embeddings, codebooks, dim, m, id_col, vec_col,
-                      subs=subs)
-    codes.join(assigned, "vid").write.mode("overwrite") \
-        .partitionBy("ccell").parquet(f"{path}/codes")
+    codes.write.mode("overwrite").partitionBy("ccell") \
+        .parquet(f"{path}/codes")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
 
@@ -659,23 +679,9 @@ def ann_ivfpq_topk(
             F.col("ccell").isin(probe_cells)      # partition pruning
         )
     else:
-        centroids = ivf_train_centroids(
-            embeddings, n_cells, id_col, vec_col, train_iters
+        centroids, codebooks, codes = _ivfpq_build(
+            embeddings, dim, n_cells, m, pq_k, id_col, vec_col, train_iters
         )
-        vecs = embeddings.select(
-            F.col(id_col).alias("vid"),
-            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
-            .alias("v"),
-        )
-        assigned = _assign_cells(vecs, centroids).select(
-            "vid", F.col("cell").alias("ccell")
-        )
-        subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col) \
-            .localCheckpoint(eager=True)
-        codebooks = pq_train(embeddings, dim, m, pq_k, id_col, vec_col,
-                             train_iters, subs=subs)
-        codes = pq_encode(embeddings, codebooks, dim, m, id_col, vec_col,
-                          subs=subs).join(assigned, "vid")
         probes = _query_probes(
             embeddings, centroids, query_filter, id_col, vec_col, n_probe
         )

@@ -978,6 +978,11 @@ def test_minhash_mirror_edge_cases_vs_spark(spark):
         ("d10", "nbsp glued words stay one token here right now ok"),
         ("d11", "nbsp glued words stay one token here right now ok"),
         ("d12", "tab\tsplit\nand newline words make shingles too you know"),
+        # no-shingle docs AFTER non-empty ones: a placeholder reduceat
+        # start here corrupted d12's signature segment (the round-5
+        # review catch) — keep these LAST
+        ("d13", ""),
+        ("d14", "trailing two"),
     ]
     df = spark.createDataFrame(docs, "url string, text string")
     sp = sorted(

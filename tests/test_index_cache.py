@@ -138,3 +138,23 @@ def test_rename_race_loser_accepts_winner(cache_env):
         d for d in os.listdir(IC.cache_root()) if d.startswith("idx.build-")
     ]
     assert leftovers == []                          # loser cleaned up
+
+
+def test_stale_orphaned_builds_are_swept(cache_env, monkeypatch):
+    """A builder killed mid-flight (SIGKILL between build_fn and cleanup)
+    leaves '<tag>.build-<uuid>' garbage nothing else matches; the next
+    ensure_index reclaims ones older than the stale window and leaves
+    fresh (possibly in-flight) ones alone."""
+    import time
+
+    root = IC.cache_root()
+    old = os.path.join(root, "idx.build-deadbeef")
+    os.makedirs(os.path.join(old, "inverted"))
+    ancient = time.time() - IC._STALE_BUILD_SECONDS - 10
+    os.utime(old, (ancient, ancient))
+    fresh = os.path.join(root, "idx.build-cafe")
+    os.makedirs(fresh)
+
+    IC.ensure_index(os.path.join(root, "idx"), SUBDIRS, _fake_build())
+    assert not os.path.exists(old)          # crash leftover reclaimed
+    assert os.path.exists(fresh)            # in-flight build untouched

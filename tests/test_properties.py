@@ -76,8 +76,17 @@ def _py_bpe_tokens(t: str) -> list[str]:
     return _BPE_RE.findall(t)
 
 
+# chunking tests get an alphabet that ADDS the engine-divergence probes:
+# \x0b (vertical tab — inside Java \s, outside RE2 \s; the round-5
+# explicit-ASCII-class fix) and \x0c. Kept out of the shared ALPHABET:
+# the scrub/heuristic contracts pin Java-\s semantics that RE2 cannot
+# express for \x0b, and their domain note requires normalized input.
+chunk_texts = st.text(alphabet=ALPHABET + "\x0b\x0c", min_size=0,
+                      max_size=400)
+
+
 @settings(max_examples=200, deadline=None)
-@given(texts)
+@given(chunk_texts)
 def test_bpe_pattern_tiles_the_text(t):
     """The foundation of token-aware chunking: the BPE-ish pattern tiles
     its input — concatenating the findall tokens reconstructs the text
@@ -86,7 +95,7 @@ def test_bpe_pattern_tiles_the_text(t):
 
 
 @settings(max_examples=100, deadline=None)
-@given(texts)
+@given(chunk_texts)
 def test_token_chunks_never_split_tokens(t):
     """doc_chunks_tokens contract, checked through the DuckDB rendering of
     the shared template against the Python tokenizer: every chunk is
