@@ -36,7 +36,8 @@ is pinned. Progressive is verified by bit-reorder identity:
 decode_jpeg(encode_jpeg_progressive(x)) must equal
 decode_jpeg(encode_jpeg(x)) EXACTLY — progressive coding permutes the
 entropy bits but not the coefficients, so any scan-logic slip desyncs the
-huffman stream and fails loudly rather than approximately. External-decoder compatibility of encoded files cannot be
+huffman stream and fails loudly rather than approximately.
+External-decoder compatibility of encoded files cannot be
 tested in this container (no image library by design) — the files are
 standard-conformant by construction and self-describing.
 
@@ -1038,15 +1039,27 @@ def _sos_segment(sel: list[tuple[int, int, int]], ss: int, se: int,
     return b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + body
 
 
+def _group_mcus(flat, n_mcus):
+    """Regroup the flat (cid, vec) stream into per-MCU lists."""
+    flat = list(flat)
+    per = len(flat) // n_mcus
+    return [flat[i * per : (i + 1) * per] for i in range(n_mcus)]
+
+
 def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
-                            subsample: bool = False) -> bytes:
+                            subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
     """(H, W, 3) uint8 RGB → progressive (SOF2) JFIF JPEG. Scan script:
     DC first (Al=1) interleaved; per-component AC bands first (Al=2, luma
     split 1-5 / 6-63); per-component AC refinement to Al=1; DC refinement;
     per-component AC refinement to Al=0 — exercising spectral selection
     AND two successive-approximation planes. Coefficients are identical to
     encode_jpeg's at the same (quality, subsample), so the decoded pixels
-    of the two encodings must match exactly."""
+    of the two encodings must match exactly. restart_interval > 0 emits
+    DRI + RSTn markers in EVERY scan (interval counted in MCUs for the
+    interleaved DC scans, blocks for the non-interleaved AC scans — the
+    T.81 MCU definition makes those the same unit), resetting DC
+    predictors and EOB runs per segment."""
     h, w = rgb.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -1103,57 +1116,98 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
                             yield cid, coefs[cid][my * cv + by, mx * ch + bx]
 
     scans: list[bytes] = []
+    mcu_list = [list(g) for g in _group_mcus(mcu_blocks(), mcuy * mcux)]
+
+    def segmented(n_units, enc_segment):
+        """Split a scan's entropy data into restart intervals: fresh
+        encoder state per segment (DC predictors / EOB runs reset at RSTn
+        by definition), byte-aligned flush per segment, RST0-7 markers
+        cycling between segments — mirrors _decode_prog_scan.restart()."""
+        if not restart_interval or restart_interval >= n_units:
+            return enc_segment(0, n_units)
+        parts = []
+        for seg, lo in enumerate(range(0, n_units, restart_interval)):
+            if seg:
+                parts.append(bytes([0xFF, 0xD0 + ((seg - 1) % 8)]))
+            parts.append(
+                enc_segment(lo, min(lo + restart_interval, n_units))
+            )
+        return b"".join(parts)
+
+    def dc_first_seg(lo, hi):
+        wtr = _BitWriter()
+        preds = {1: 0, 2: 0, 3: 0}
+        for mcu in mcu_list[lo:hi]:
+            for cid, vec in mcu:
+                val = int(vec[0]) >> 1
+                diff = val - preds[cid]
+                preds[cid] = val
+                t = abs(diff).bit_length()
+                raw = diff if diff >= 0 else diff + (1 << t) - 1
+                ln, code = _DC_CODES[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(raw, t)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine_seg(lo, hi):
+        wtr = _BitWriter()
+        for mcu in mcu_list[lo:hi]:
+            for _cid, vec in mcu:
+                wtr.write(int(vec[0]) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_seg(blocks, enc, ss, se, al):
+        def run(lo, hi):
+            wtr = _BitWriter()
+            enc(wtr, blocks[lo:hi], ss, se, al)
+            wtr.flush()
+            return bytes(wtr.out)
+
+        return run
 
     # scan 1: DC first, interleaved, Al=1 (arithmetic point transform)
-    wtr = _BitWriter()
-    preds = {1: 0, 2: 0, 3: 0}
-    for cid, vec in mcu_blocks():
-        val = int(vec[0]) >> 1
-        diff = val - preds[cid]
-        preds[cid] = val
-        t = abs(diff).bit_length()
-        raw = diff if diff >= 0 else diff + (1 << t) - 1
-        ln, code = _DC_CODES[t]
-        wtr.write(code, ln)
-        if t:
-            wtr.write(raw, t)
-    wtr.flush()
-    scans.append(_sos_segment([(1, 0, 0), (2, 1, 0), (3, 1, 0)],
-                              0, 0, 0, 1) + bytes(wtr.out))
+    scans.append(
+        _sos_segment([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+        + segmented(len(mcu_list), dc_first_seg)
+    )
 
     # scans 2-5: AC first, Al=2 (luma split into two bands)
     for cid, ta, bands in ((1, 0, ((1, 5), (6, 63))),
                            (2, 1, ((1, 63),)), (3, 1, ((1, 63),))):
+        blocks = list(ac_blocks(cid))
         for ss, se in bands:
-            wtr = _BitWriter()
-            _enc_ac_first(wtr, ac_blocks(cid), ss, se, 2)
-            wtr.flush()
-            scans.append(_sos_segment([(cid, 0, ta)], ss, se, 0, 2)
-                         + bytes(wtr.out))
+            scans.append(
+                _sos_segment([(cid, 0, ta)], ss, se, 0, 2)
+                + segmented(len(blocks),
+                            ac_seg(blocks, _enc_ac_first, ss, se, 2))
+            )
 
     # scans 6-8: AC refinement Ah=2 -> Al=1
     for cid, ta in ((1, 0), (2, 1), (3, 1)):
-        wtr = _BitWriter()
-        _enc_ac_refine(wtr, ac_blocks(cid), 1, 63, 1)
-        wtr.flush()
-        scans.append(_sos_segment([(cid, 0, ta)], 1, 63, 2, 1)
-                     + bytes(wtr.out))
+        blocks = list(ac_blocks(cid))
+        scans.append(
+            _sos_segment([(cid, 0, ta)], 1, 63, 2, 1)
+            + segmented(len(blocks),
+                        ac_seg(blocks, _enc_ac_refine, 1, 63, 1))
+        )
 
     # scan 9: DC refinement Ah=1 -> Al=0 (one raw bit per block)
-    wtr = _BitWriter()
-    for cid, vec in mcu_blocks():
-        wtr.write(int(vec[0]) & 1, 1)
-    wtr.flush()
-    scans.append(_sos_segment([(1, 0, 0), (2, 1, 0), (3, 1, 0)],
-                              0, 0, 1, 0) + bytes(wtr.out))
+    scans.append(
+        _sos_segment([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+        + segmented(len(mcu_list), dc_refine_seg)
+    )
 
     # scans 10-12: AC refinement Ah=1 -> Al=0
     for cid, ta in ((1, 0), (2, 1), (3, 1)):
-        wtr = _BitWriter()
-        _enc_ac_refine(wtr, ac_blocks(cid), 1, 63, 0)
-        wtr.flush()
-        scans.append(_sos_segment([(cid, 0, ta)], 1, 63, 1, 0)
-                     + bytes(wtr.out))
+        blocks = list(ac_blocks(cid))
+        scans.append(
+            _sos_segment([(cid, 0, ta)], 1, 63, 1, 0)
+            + segmented(len(blocks),
+                        ac_seg(blocks, _enc_ac_refine, 1, 63, 0))
+        )
 
     sof2 = (
         b"\xff\xc2" + (17).to_bytes(2, "big") + bytes([8])
@@ -1167,6 +1221,10 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
         + bytes([1, 1, 0]) + (1).to_bytes(2, "big") + (1).to_bytes(2, "big")
         + bytes([0, 0])
     )
+    dri = (
+        b"\xff\xdd" + (4).to_bytes(2, "big")
+        + restart_interval.to_bytes(2, "big")
+    ) if restart_interval else b""
     return (
         b"\xff\xd8" + app0
         + _dqt_segment(0, qlum) + _dqt_segment(1, qchr)
@@ -1175,5 +1233,5 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
         + _dht_segment(0, 1, _DC_COUNTS, _DC_SYMS)
         + _dht_segment(1, 0, _PAC_COUNTS, _PAC_SYMS)
         + _dht_segment(1, 1, _PAC_COUNTS, _PAC_SYMS)
-        + b"".join(scans) + b"\xff\xd9"
+        + dri + b"".join(scans) + b"\xff\xd9"
     )

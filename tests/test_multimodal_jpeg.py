@@ -257,3 +257,22 @@ def test_progressive_through_media_transform():
     assert row[4] == "ok"
     out = decode_jpeg(row[1])
     assert out.shape == (6, 4, 3)
+
+
+def test_progressive_restart_markers_roundtrip():
+    """Progressive scans with DRI/RSTn: every scan is segmented (DC
+    predictors and EOB runs reset per segment, byte-aligned, RST0-7
+    cycling) and the decoder's per-scan restart path reproduces the
+    plain-progressive — and therefore the baseline — pixels exactly.
+    ri=1 is the stress case (a restart after every single unit)."""
+    from dq_true_north_spark.textquality.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for h, w, q, sub, ri in ((24, 17, 85, False, 2), (33, 20, 90, True, 3),
+                             (16, 16, 75, False, 1)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        blob = encode_jpeg_progressive(img, quality=q, subsample=sub,
+                                       restart_interval=ri)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+        assert np.array_equal(decode_jpeg(blob), base), (h, w, q, sub, ri)
