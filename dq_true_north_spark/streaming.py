@@ -163,3 +163,101 @@ def stream_dedup_stateful(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_near_dup_pairs(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_bucket: int = 64,
+):
+    """Streaming MinHash near-dup detection: every arriving page is matched
+    against ALL previously-seen pages that share an LSH band bucket —
+    across micro-batches and restarts (bucket membership lives in the
+    checkpointed GroupState). The streaming analog of
+    minhash_candidate_pairs for a live crawl feed.
+
+    Shape: signatures are the same JVM-side reduce fold as batch
+    (with_minhash works unchanged on a streaming frame — pure column
+    expressions), banding is the same xxhash64 key, and the stateful
+    operator is applyInPandasWithState keyed by (band_idx, band_hash):
+    state holds the bucket's members (url, signature), capped at
+    max_bucket exactly like the batch path — a boilerplate bucket stops
+    ACCEPTING members once full (arrival-order truncation; the batch
+    equivalent drops the whole oversized bucket, so the two paths agree
+    only below the cap — documented, and the planted corpus stays below).
+
+    Emission contract (mirrors batch semantics): new rows are processed in
+    (url, signature) order; each new member pairs against every existing
+    member, orientation (doc_a, doc_b) = sorted urls, self-url pairs
+    skipped, est_jaccard = round4(matching perms / 64) filtered at the
+    threshold. The same pair CAN surface from several band buckets (batch
+    resolves that with a max-aggregate); consumers of the stream dedupe
+    per pair downstream — kept raw here so the sink stays append-only."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from . import constants as C
+    from .textquality.dedup import _minhash_banded
+
+    n_perms = C.MINHASH_PERMS
+    threshold = C.JACCARD_THRESHOLD
+
+    def bucket_group(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.assign(sig_t=rows["minhash"].map(tuple)).sort_values(
+            ["doc", "sig_t"], ignore_index=True
+        )
+        members: list = list(state.get[0]) if state.exists else []
+        out_a, out_b, out_est = [], [], []
+        for r in rows.itertuples(index=False):
+            if len(members) >= max_bucket:
+                break                      # capped: bucket accepts no more
+            sig = r.sig_t
+            for m_url, m_sig in members:
+                if m_url == r.doc:
+                    continue
+                matches = sum(x == y for x, y in zip(m_sig, sig))
+                est = math.floor(matches / n_perms * 1e4 + 0.5) / 1e4
+                if est >= threshold:
+                    a, b = sorted((m_url, r.doc))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_est.append(est)
+            # plain Python ints: the state row is pickled to the JVM and
+            # numpy.int64 is not a registered pickle class there
+            members.append((r.doc, [int(x) for x in sig]))
+        state.update(([list(m) if isinstance(m, tuple) else m
+                       for m in members],))
+        yield pd.DataFrame(
+            {"doc_a": out_a, "doc_b": out_b,
+             "est_jaccard": pd.Series(out_est, dtype="float64")}
+        )
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .parquet(input_dir)
+        .select("url", "text")
+    )
+    banded = _minhash_banded(pages, "url", "text",
+                             C.MINHASH_BANDS, n_perms)
+    pairs = banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        bucket_group,
+        outputStructType="doc_a string, doc_b string, est_jaccard double",
+        stateStructType=(
+            "members array<struct<url: string, minhash: array<bigint>>>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        pairs.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -150,3 +150,50 @@ def test_stream_host_rates_slashless_urls_group_correctly(spark, tmp_path):
     rows = {(r["host"], r["n_pages"]) for r in spark.read.parquet(out).collect()}
     assert ("bare.example.org", 3) in rows
     assert not any(h == "" for h, _ in rows)
+
+
+def test_stream_near_dup_pairs_across_batches(spark, tmp_path):
+    """Streaming LSH near-dup: pages arriving in SEPARATE micro-batches
+    still pair (bucket membership lives in GroupState across batches), and
+    the union of emitted pairs — max-reduced per pair like the batch
+    aggregate — equals the batch minhash_candidate_pairs output on the
+    same corpus (below the bucket cap the two paths are equivalent by
+    construction)."""
+    from dq_true_north_spark.corpus import generate_pages_pdf
+    from dq_true_north_spark.streaming import stream_near_dup_pairs
+    from dq_true_north_spark.textquality.dedup_mirror import (
+        minhash_pairs_mirror,
+    )
+
+    from dq_true_north_spark.corpus import PAGES_SCHEMA
+
+    pdf = generate_pages_pdf(400)
+    in_dir, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    # two drops into the SAME source dir (the file source does not
+    # recurse into subdirectories), sequential availableNow runs sharing
+    # one checkpoint = two micro-batch generations; state must carry
+    # bucket members across them. The planted dup pair 147↔148 (class 7
+    # copies class 8) STRADDLES the split at 148.
+    half = 148
+
+    def drop(lo, hi):
+        spark.createDataFrame(pdf.iloc[lo:hi], PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        q = stream_near_dup_pairs(spark, in_dir, out, ckpt)
+        q.awaitTermination(120)
+
+    drop(0, half)
+    drop(half, 400)
+
+    got = spark.read.parquet(str(out))
+    streamed = {}
+    for r in got.collect():
+        k = (r["doc_a"], r["doc_b"])
+        streamed[k] = max(streamed.get(k, 0.0), r["est_jaccard"])
+    expected = {(a, b): e for a, b, e in
+                minhash_pairs_mirror(list(pdf["url"]), list(pdf["text"]))}
+    assert streamed == expected
+    # the cross-batch pair really exists (page 147 in drop1, 148 in drop2)
+    cross = [k for k in expected
+             if "00000147" in k[0] + k[1] and "00000148" in k[0] + k[1]]
+    assert cross and all(k in streamed for k in cross)
