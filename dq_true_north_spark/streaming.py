@@ -165,6 +165,11 @@ def stream_dedup_stateful(
     )
 
 
+#: doc_a value of a capped-bucket marker row in the stream_near_dup_pairs
+#: sink (illegal as a URL, so it can never collide with a real pair)
+CAP_MARKER = "__bucket_capped__"
+
+
 def stream_near_dup_pairs(
     spark: SparkSession,
     input_dir: str,
@@ -194,7 +199,13 @@ def stream_near_dup_pairs(
     skipped, est_jaccard = round4(matching perms / 64) filtered at the
     threshold. The same pair CAN surface from several band buckets (batch
     resolves that with a max-aggregate); consumers of the stream dedupe
-    per pair downstream — kept raw here so the sink stays append-only."""
+    per pair downstream — kept raw here so the sink stays append-only.
+
+    Truncation is NOT silent (the repo-wide capped-LSH discipline): a
+    micro-batch that drops arrivals on a full bucket emits one MARKER row
+    — doc_a = CAP_MARKER, doc_b = "band_idx:band_hash", est_jaccard =
+    rows dropped in this batch — so a boilerplate-heavy feed shows its
+    truncation in the same sink; consumers filter doc_a != CAP_MARKER."""
     import math
 
     import pandas as pd
@@ -213,9 +224,12 @@ def stream_near_dup_pairs(
         )
         members: list = list(state.get[0]) if state.exists else []
         out_a, out_b, out_est = [], [], []
+        dropped = 0
         for r in rows.itertuples(index=False):
             if len(members) >= max_bucket:
-                break                      # capped: bucket accepts no more
+                # capped: bucket accepts no more; count what we drop
+                dropped += 1
+                continue
             sig = r.sig_t
             for m_url, m_sig in members:
                 if m_url == r.doc:
@@ -232,6 +246,10 @@ def stream_near_dup_pairs(
             members.append((r.doc, [int(x) for x in sig]))
         state.update(([list(m) if isinstance(m, tuple) else m
                        for m in members],))
+        if dropped:
+            out_a.append(CAP_MARKER)
+            out_b.append(f"{key[0]}:{key[1]}")
+            out_est.append(float(dropped))
         yield pd.DataFrame(
             {"doc_a": out_a, "doc_b": out_b,
              "est_jaccard": pd.Series(out_est, dtype="float64")}
@@ -244,6 +262,14 @@ def stream_near_dup_pairs(
     )
     banded = _minhash_banded(pages, "url", "text",
                              C.MINHASH_BANDS, n_perms)
+    # shingle-less pages (< 3 words — empty/near-empty crawl pages) carry
+    # an all-NULL signature. In batch they can never emit a pair (SQL NULL
+    # equality → matches 0 → est 0 < threshold), so dropping them here is
+    # OUTPUT-equivalent — and necessary: they all collide into the
+    # hash-of-lit(j) buckets, Python int(None) would crash the query, and
+    # a None==None match count would fabricate est 1.0 between unrelated
+    # empty pages (round-5 second-review catch).
+    banded = banded.filter(F.element_at("minhash", 1).isNotNull())
     pairs = banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
         bucket_group,
         outputStructType="doc_a string, doc_b string, est_jaccard double",

@@ -104,7 +104,19 @@ def _sweep_stale_builds(root: str) -> None:
             continue
         p = os.path.join(root, name)
         try:
-            if now - os.stat(p).st_mtime > _STALE_BUILD_SECONDS:
+            # gate on ACTIVITY, not build start: the top-level dir's mtime
+            # freezes when build_fn creates the layout subdirs, while an
+            # in-flight Spark write keeps touching the subdirs — a slow
+            # legitimate build must never be swept mid-write (round-5
+            # second-review catch). Max mtime over the dir and one level
+            # of children is enough: part-file writes update their parent
+            # subdir's mtime.
+            newest = os.stat(p).st_mtime
+            for child in os.listdir(p):
+                newest = max(
+                    newest, os.stat(os.path.join(p, child)).st_mtime
+                )
+            if now - newest > _STALE_BUILD_SECONDS:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

@@ -150,11 +150,19 @@ def test_stale_orphaned_builds_are_swept(cache_env, monkeypatch):
     root = IC.cache_root()
     old = os.path.join(root, "idx.build-deadbeef")
     os.makedirs(os.path.join(old, "inverted"))
-    ancient = time.time() - IC._STALE_BUILD_SECONDS - 10
-    os.utime(old, (ancient, ancient))
+    ancient = (time.time() - IC._STALE_BUILD_SECONDS - 10,) * 2
+    os.utime(os.path.join(old, "inverted"), ancient)
+    os.utime(old, ancient)
     fresh = os.path.join(root, "idx.build-cafe")
     os.makedirs(fresh)
+    # a SLOW build: the top dir is old but a child subdir is still being
+    # written — activity gating must NOT sweep it
+    slow = os.path.join(root, "idx.build-beef")
+    os.makedirs(os.path.join(slow, "inverted"))
+    os.utime(slow, ancient)                 # top-level frozen at start
+    # (child keeps its fresh creation mtime = in-flight writes)
 
     IC.ensure_index(os.path.join(root, "idx"), SUBDIRS, _fake_build())
     assert not os.path.exists(old)          # crash leftover reclaimed
     assert os.path.exists(fresh)            # in-flight build untouched
+    assert os.path.exists(slow)             # slow-but-active build kept

@@ -197,3 +197,41 @@ def test_stream_near_dup_pairs_across_batches(spark, tmp_path):
     cross = [k for k in expected
              if "00000147" in k[0] + k[1] and "00000148" in k[0] + k[1]]
     assert cross and all(k in streamed for k in cross)
+
+
+def test_stream_near_dup_handles_empty_pages_and_reports_cap(spark, tmp_path):
+    """Shingle-less pages (< 3 words, all-NULL signatures) must neither
+    crash the stateful operator nor fabricate est=1.0 pairs between
+    unrelated empty pages; and a bucket that hits max_bucket emits a
+    CAP_MARKER row counting the dropped arrivals instead of truncating
+    silently (the repo-wide capped-LSH visibility discipline)."""
+    from dq_true_north_spark.corpus import PAGES_SCHEMA
+    from dq_true_north_spark.streaming import CAP_MARKER, stream_near_dup_pairs
+
+    boiler = ("the same boilerplate sentence repeated across every mirror "
+              "page of this site again")
+    rows = [(f"https://h/empty{i}", "2024-01-01 10:00:00", "tiny page", "en")
+            for i in range(4)]                       # < 3 words: NULL sigs
+    rows += [(f"https://h/b{i:03d}", "2024-01-01 10:00:00", boiler, "en")
+             for i in range(7)]                      # one hot bucket
+    import datetime
+
+    data = [(u, datetime.datetime(2024, 1, 1, 10, 0, 0),
+             b"<html></html>", t, lg) for u, _, t, lg in rows]
+    in_dir, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(data, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    q = stream_near_dup_pairs(spark, in_dir, out, ckpt, max_bucket=5)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    real = [r for r in got if r["doc_a"] != CAP_MARKER]
+    markers = [r for r in got if r["doc_a"] == CAP_MARKER]
+    # no pair involves an empty page, and no fabricated empty-empty pair
+    assert all("empty" not in r["doc_a"] + r["doc_b"] for r in real)
+    # the 7 boilerplate pages overflow the 5-cap: pairs among the first 5
+    # arrivals only, and every one of the 16 band buckets reports 2 drops
+    assert real and all(r["est_jaccard"] == 1.0 for r in real)
+    assert markers and all(r["est_jaccard"] == 2.0 for r in markers)
+    docs_in_pairs = {d for r in real for d in (r["doc_a"], r["doc_b"])}
+    assert len(docs_in_pairs) == 5
