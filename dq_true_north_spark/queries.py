@@ -89,7 +89,8 @@ _DRIVER_WINDOW = 50
 #                           (both mirror-ORACLED at sf0.01 since round 5)
 #   simhash_pairs_pages   — second LSH family; planted + invariance tests
 #                           (mirror-ORACLED at sf0.01 since round 5)
-#   ann_lsh_embeddings    — second ANN family; recall tests (ann_ivf is in)
+#   ann_lsh_embeddings    — second ANN family; recall tests (ann_ivf is
+#                           in-window); mirror-ORACLED at sf0.01 since r5
 #   ann_pq_embeddings     — third ANN family (product quantization); recall
 #                           + determinism tests
 #   host_counts_salted_vs_direct / approx_distinct_vs_exact — partitioning
@@ -1473,7 +1474,9 @@ def q_simhash_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @df_query("ann_lsh_embeddings")
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (random hyperplanes) —
-    the scale path next to brute-force cosine_topk_embeddings."""
+    the scale path next to brute-force cosine_topk_embeddings.
+    Oracle-checked at sf0.01 since round 5 via the scalar sequential-fold
+    mirror (_register_ann_lsh_oracle / similarity_mirror.py)."""
     from .textquality.similarity import ann_lsh_topk
 
     load_tables(spark, sf_dir, ("embeddings",))
@@ -1979,6 +1982,48 @@ def _register_minhash_oracles(pages_pdf) -> None:
     )
 
 
+def _register_ann_lsh_oracle(sf_dir: str) -> None:
+    """ann_lsh_embeddings upgraded from rows-only (round 5): hyperplane
+    LSH needs no iterative float training — the planes are seeded
+    literals and every reduction in the plan is a sequential left fold —
+    so the scalar mirror (similarity_mirror.ann_lsh_topk_mirror)
+    reproduces buckets, candidates, ranking and display bit-for-bit, and
+    the sf0.01 expected rows freeze into a VALUES oracle. The
+    k-means-trained indexes (IVF/IVFPQ/PQ) stay honestly rows-only: their
+    centroid averages depend on Spark's partial-aggregation merge
+    order."""
+    import os
+
+    parquet = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(parquet):
+        return
+    import duckdb
+
+    from .textquality.similarity_mirror import ann_lsh_topk_mirror
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{parquet}') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = [r[0] for r in rows]
+    expected = ann_lsh_topk_mirror(
+        ids, [r[1] for r in rows], 64,
+        {i for i in ids if i % 100 == 0}, n_planes=4, n_tables=8,
+    )
+    vals = ", ".join(
+        f"({q}, {n}, {rk}, {c!r})" for q, n, rk, c in expected
+    )
+    _REGISTRY["ann_lsh_embeddings"]["oracle"] = (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(neighbor_id AS BIGINT) AS neighbor_id, "
+        "CAST(rank AS INT) AS rank, "
+        "CAST(cosine_sim AS DOUBLE) AS cosine_sim "
+        f"FROM (VALUES {vals}) t(query_id, neighbor_id, rank, cosine_sim)"
+    )
+
+
 def _register_spec_value_oracles() -> None:
     """doc_fingerprints / langid_documents upgraded from rows-only to full
     oracle checks (VERDICT r2 #6): both are deterministic pure-Python/numpy
@@ -2007,9 +2052,10 @@ def _register_spec_value_oracles() -> None:
     if "0.01" in sf_dir:
         from .corpus import generate_pages_pdf
 
-        pages_pdf = generate_pages_pdf(10_000)   # shared by both oracles
+        pages_pdf = generate_pages_pdf(10_000)   # shared by the oracles
         _register_pages_verdicts_oracle(pages_pdf)   # flagship: golden
         _register_minhash_oracles(pages_pdf)         # LSH mirror (r5)
+        _register_ann_lsh_oracle(sf_dir)             # hyperplane ANN (r5)
         # pipeline summary over the 10,000-page sf0.01 corpus, frozen from
         # tests/golden.py (the reference-faithful pure-Python pipeline,
         # ~6 s to recompute — too slow for registry time, so the one row

@@ -998,3 +998,36 @@ def test_minhash_mirror_edge_cases_vs_spark(spark):
     assert ("d05", "d06") in pair_ids
     assert ("d08", "d09") in pair_ids
     assert ("d10", "d11") in pair_ids
+
+
+def test_ann_lsh_mirror_equals_spark(spark):
+    """The sequential-fold LSH mirror reproduces production ann_lsh_topk
+    EXACTLY (buckets, candidate sets, ranking, round4 display) — the
+    identity the sf0.01 driver oracle is built on. np.cumsum is the same
+    left-associative fold as the SQL aggregate, so floats match
+    bit-for-bit."""
+    import duckdb
+
+    from dq_true_north_spark.textquality.similarity_mirror import (
+        ann_lsh_topk_mirror,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = [r[0] for r in rows]
+    mirror = sorted(
+        (q, rk, n, c) for q, n, rk, c in ann_lsh_topk_mirror(
+            ids, [r[1] for r in rows], 64,
+            {i for i in ids if i % 100 == 0}, n_planes=4, n_tables=8)
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sp = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in ann_lsh_topk(emb, dim=64, query_filter="vec_id % 100 = 0",
+                              n_planes=4, n_tables=8).collect()
+    )
+    assert sp == mirror

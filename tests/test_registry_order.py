@@ -57,6 +57,8 @@ def test_window_is_oracle_dense():
     tail = names[Q._DRIVER_WINDOW:]
     oracled_tail = sorted(n for n in tail if reg[n]["oracle"])
     assert oracled_tail == [
+        "ann_lsh_embeddings",          # mirror-oracled (r5); second ANN
+                                       # family (ann_ivf is in-window)
         "doc_chunks_tokens",           # token-aware twin of doc_chunks
                                        # (in-window); same explode shape
         "doc_top_bigram_fraction",     # supplementary to doc_quality_score
