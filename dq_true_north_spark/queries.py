@@ -94,7 +94,9 @@ _DRIVER_WINDOW = 50
 #   ann_pq_embeddings     — third ANN family (product quantization); recall
 #                           + determinism tests
 #   host_counts_salted_vs_direct / approx_distinct_vs_exact — partitioning
-#                           demos, asserted exactly in tests
+#                           demos, asserted exactly in tests (host_counts
+#                           mirror-ORACLED at sf0.01 since r5; approx HLL
+#                           sketch values are engine-specific, rows-only)
 #   token_budget_packs    — the single-reducer spec form of ..._sharded
 #   dup_orders_cust_date  — same duplicate executor as dup_details_orders
 #   doc_top_bigram_fraction — supplementary quality metric (doc_quality_score
@@ -1153,7 +1155,9 @@ def q_salted_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew discipline demo on the hot-host corpus: per-host page counts via
     salted two-phase aggregation (groupBy(host, salt) partial → groupBy(host)
     final) next to the direct groupBy — `counts_match` must be 1 everywhere.
-    Self-validating rows-only check (the corpus isn't a DuckDB view)."""
+    Oracle-checked at sf0.01 since round 5: exact per-host counts computed
+    driver-side from the deterministic corpus with the same HOST_RE
+    (_register_host_counts_oracle)."""
     from pyspark.sql import functions as F
 
     from .corpus import n_pages_for_sf, pages_df
@@ -1982,6 +1986,38 @@ def _register_minhash_oracles(pages_pdf) -> None:
     )
 
 
+def _register_host_counts_oracle(pages_pdf) -> None:
+    """host_counts_salted_vs_direct upgraded from rows-only (round 5):
+    per-host counts over the deterministic corpus are exactly computable
+    driver-side with the SAME host regex (partitioning.HOST_RE, one
+    pattern by CLAUDE.md invariant), and the salted two-phase aggregate
+    is count-identical to the direct one by construction — so the VALUES
+    oracle pins both the counts AND counts_match == 1 everywhere."""
+    import re as _re
+    from collections import Counter
+
+    from .partitioning import HOST_RE
+
+    rx = _re.compile(HOST_RE)
+    counts = Counter(
+        m.group(1) for m in (rx.match(u) for u in pages_pdf["url"]) if m
+    )
+
+    def esc(x: str) -> str:
+        return x.replace("'", "''")
+
+    vals = ", ".join(
+        f"('{esc(h)}', {n}, {n}, 1)" for h, n in counts.items()
+    )
+    _REGISTRY["host_counts_salted_vs_direct"]["oracle"] = (
+        "SELECT host, CAST(direct_count AS BIGINT) AS direct_count, "
+        "CAST(salted_count AS BIGINT) AS salted_count, "
+        "CAST(counts_match AS INT) AS counts_match "
+        f"FROM (VALUES {vals}) t(host, direct_count, salted_count, "
+        "counts_match)"
+    )
+
+
 def _register_ann_lsh_oracle(sf_dir: str) -> None:
     """ann_lsh_embeddings upgraded from rows-only (round 5): hyperplane
     LSH needs no iterative float training — the planes are seeded
@@ -2056,6 +2092,7 @@ def _register_spec_value_oracles() -> None:
         _register_pages_verdicts_oracle(pages_pdf)   # flagship: golden
         _register_minhash_oracles(pages_pdf)         # LSH mirror (r5)
         _register_ann_lsh_oracle(sf_dir)             # hyperplane ANN (r5)
+        _register_host_counts_oracle(pages_pdf)      # skew demo (r5)
         # pipeline summary over the 10,000-page sf0.01 corpus, frozen from
         # tests/golden.py (the reference-faithful pure-Python pipeline,
         # ~6 s to recompute — too slow for registry time, so the one row

@@ -63,6 +63,7 @@ def test_window_is_oracle_dense():
                                        # (in-window); same explode shape
         "doc_top_bigram_fraction",     # supplementary to doc_quality_score
         "dup_orders_cust_date",        # same executor as dup_details_orders
+        "host_counts_salted_vs_direct", # mirror-oracled skew demo (r5)
         "minhash_pairs_pages",         # mirror-oracled (r5); transitively
                                        # covered by in-window clusters
         "ngram_jaccard_pairs",         # 1-row, near-redundant with
