@@ -61,10 +61,33 @@ def get_spark(
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
-    """Read the driver-provided parquet tables and register temp views."""
+    """Read the driver-provided parquet tables and register temp views.
+
+    The DataFrame HANDLES are memoized per (session, sf_dir, table): a
+    `spark.read.parquet` call costs ~130 ms of schema inference + py4j
+    round trips, and the query registry calls load_tables once per query —
+    at 10 tables that was a ~1.3 s floor under EVERY registered query
+    (round-6 measurement; the floor, not the compute, dominated the small
+    queries). Only the lazy plan is cached — every materialization still
+    scans the parquet files, so this is metadata caching, never result
+    caching. Temp views are re-registered whenever the requested sf_dir
+    differs from the one currently pointed at, so a session that switches
+    scale factors (the test harness does) stays correct."""
+    cache = spark.__dict__.setdefault("_dq_table_cache", {})
     out = {}
+    stale = []
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        df.createOrReplaceTempView(n)
+        key = (sf_dir, n)
+        df = cache.get(key)
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            cache[key] = df
+            stale.append(n)
         out[n] = df
+    current = cache.get("_views_sf_dir")
+    if current != sf_dir:
+        stale = list(names)
+        cache["_views_sf_dir"] = sf_dir
+    for n in stale:
+        out[n].createOrReplaceTempView(n)
     return out

@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from .. import constants as C
 from .spec import round4_col
@@ -46,51 +46,127 @@ def shingle_col(text_col: str, k: int = C.MINHASH_SHINGLE_WORDS):
     Short documents (< k words) yield an EMPTY array — the guarded
     spec.word_ngrams construction; Spark's sequence(1, 0) is the
     DESCENDING [1, 0] and slice(arr, 0, k) throws, so the unguarded form
-    crashed the whole job on any real crawl's empty/near-empty page."""
+    crashed the whole job on any real crawl's empty/near-empty page.
+
+    `text_col` may be any SQL expression (a column name or a precomputed
+    words-array reference path — see with_minhash's two-step projection)."""
     from .spec import SPARK, word_ngrams
 
     words = f"filter(split(lower({text_col}), '\\\\s+'), w -> w <> '')"
     return F.array_distinct(F.expr(word_ngrams(SPARK, words, k)))
 
 
+# XXH64 primes — public constants (Yann Collet's public-domain reference);
+# duplicated here ON PURPOSE instead of importing textquality.xxh: xxh.py is
+# the INDEPENDENT scalar spec behind the frozen mirror oracles, and the
+# production kernel must not share its code or a bug could hide from the
+# mirror-equality tests. This copy is pinned directly against the JVM by
+# tests/test_dedup_similarity.py::test_minhash_numpy_kernel_matches_jvm.
+_XP1 = np.uint64(0x9E3779B185EBCA87)
+_XP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XP3 = np.uint64(0x165667B19E3779F9)
+_XP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh64_int_with_seed(value: int, seeds: np.ndarray) -> np.ndarray:
+    """Spark's XXH64 4-byte specialization (`hashInt`), vectorized over a
+    uint64 `seeds` array for one scalar int `value`. uint64 arithmetic
+    wraps mod 2^64 natively in numpy, matching the JVM's long overflow."""
+    acc = seeds + (_XP5 + np.uint64(4))
+    # scalar product done in Python ints: numpy WARNS on scalar uint64
+    # overflow where the array op wraps silently
+    acc = acc ^ np.uint64((value * int(_XP1)) & 0xFFFFFFFFFFFFFFFF)
+    acc = ((acc << np.uint64(23)) | (acc >> np.uint64(41))) * _XP2 + _XP3
+    acc = acc ^ (acc >> np.uint64(33))
+    acc = acc * _XP2
+    acc = acc ^ (acc >> np.uint64(29))
+    acc = acc * _XP3
+    return acc ^ (acc >> np.uint64(32))
+
+
+def _minhash_fold_udf(n_perms: int):
+    """pandas UDF folding per-shingle xxhash64 values into the n_perms-min
+    signature. Input: array<long> of JVM `xxhash64(s)` per shingle.
+
+    Bit-identity with the previous all-JVM reduce fold is by CONSTRUCTION
+    of Spark's chained hash: `xxhash64(s, i)` == hashInt(i, seed =
+    xxhash64(s)) — the hash of column k seeds column k+1 — so hashing each
+    shingle string ONCE on the JVM and deriving all n_perms permutation
+    hashes from that seed in vectorized numpy computes the exact same
+    64-bit values as n_perms full string hashes did (and the signed
+    `least` fold is np.minimum over the int64 view). Pinned by the JVM
+    kernel test and the frozen scalar-mirror oracles.
+
+    Why: the JVM reduce/zip_with/transform fold is interpreted (no
+    codegen for higher-order lambdas) and allocates three 64-element
+    arrays per shingle per document — measured 25-50 s with multi-GB/s
+    allocation churn at 10k docs; this path runs the same arithmetic as
+    ~15 flat numpy passes per permutation (guide §4.2)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fold(hash_arrays: pd.Series) -> pd.Series:
+        n = len(hash_arrays)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hash_arrays),
+            dtype=np.int64, count=n,
+        )
+        nonempty = lens > 0
+        flat_parts = [np.asarray(a, dtype=np.int64)
+                      for a in hash_arrays if a is not None and len(a)]
+        empty_row = [None] * n_perms   # array_repeat(NULL) semantics kept
+        if not flat_parts:
+            return pd.Series([empty_row] * n)
+        flat = np.concatenate(flat_parts).view(np.uint64)
+        starts = np.concatenate(
+            ([0], np.cumsum(lens[nonempty])[:-1])).astype(np.int64)
+        sig = np.empty((int(nonempty.sum()), n_perms), dtype=np.int64)
+        for i in range(n_perms):
+            hv = _xxh64_int_with_seed(i, flat).view(np.int64)
+            sig[:, i] = np.minimum.reduceat(hv, starts)
+        rows = iter(sig)
+        return pd.Series(
+            [next(rows) if ne else empty_row for ne in nonempty]
+        )
+
+    return fold
+
+
 def with_minhash(df: DataFrame, text_col: str = "text",
                  n_perms: int = C.MINHASH_PERMS) -> DataFrame:
     """Adds `shingles` and a `minhash` array<long> signature column.
 
-    The signature is ONE `reduce` pass over the shingle array — per
-    shingle all n_perms hashes, folded into a running element-wise min
-    (zip_with/least) — instead of n_perms separate
-    `array_min(transform(...))` columns, each of which re-walks the array
-    (measured ~30-45% faster at 10k docs, same hashes). The empty-array
-    guard keeps the Spark semantics of the per-perm form: no shingles →
-    all-NULL signature, exactly what array_min over an empty transform
-    produced.
+    Round-6 shape (same hashes as ever — see the kernel docstring):
+      1. one projection computes the words array ONCE per row (the
+         previous inlined form re-evaluated `split(lower(text))` inside
+         the per-shingle transform lambda — interpreted higher-order
+         lambdas re-run their free sub-expressions per element, so a
+         70-shingle document paid ~70 regex splits);
+      2. `shingles` = distinct k-grams over that column reference;
+      3. one JVM `xxhash64(s)` per shingle (transform — single string
+         hash), then ONE Arrow hop folds all n_perms permutation hashes
+         into the element-wise-min signature in vectorized numpy
+         (`_minhash_fold_udf`). The empty-array guard keeps the original
+         semantics: no shingles → all-NULL signature.
 
-    HISTORY (the round-5 correctness catch): the per-perm form originally
+    HISTORY (the round-5 correctness catch): the pre-r5 per-perm form
     captured the permutation index with a default-arg lambda
-    (`lambda s, i=i: F.xxhash64(s, F.lit(i))`). F.transform inspects the
-    lambda's arity, a two-parameter lambda is its (element, index) form —
-    so `i` was silently bound to the ARRAY INDEX, every "permutation"
-    compiled to the same expression, and the 64-perm signature
-    degenerated to a single effective permutation (est_jaccard 0-or-1,
-    near-dups at 0.8 <= J < 1 invisible, same-class corpus docs colliding
-    into false 1.0 pairs). Found by the scalar xxh mirror
-    (dedup_mirror.py) computing the INTENDED signatures and disagreeing;
-    pinned by test_minhash_signature_is_not_degenerate and the
-    mirror-equality tests."""
-    df = df.withColumn("shingles", shingle_col(text_col))
-    sig = F.expr(
-        f"""CASE WHEN size(shingles) = 0
-             THEN array_repeat(CAST(NULL AS BIGINT), {n_perms})
-             ELSE reduce(shingles,
-                  array_repeat(CAST({2**63 - 1} AS BIGINT), {n_perms}),
-                  (acc, s) -> zip_with(acc,
-                      transform(sequence(0, {n_perms - 1}),
-                                i -> xxhash64(s, i)),
-                      (a, h) -> least(a, h)))
-        END"""
-    )
-    return df.withColumn("minhash", sig)
+    (`lambda s, i=i: F.xxhash64(s, F.lit(i))`); F.transform treats a
+    two-parameter lambda as its (element, index) form, so all 64
+    "permutations" compiled to one expression and the signature was
+    degenerate. Found by the scalar xxh mirror (dedup_mirror.py); pinned
+    by test_minhash_signature_is_not_degenerate and mirror-equality
+    tests — which also pin this round's numpy fold."""
+    from .spec import SPARK, word_ngrams
+
+    words = f"filter(split(lower({text_col}), '\\\\s+'), w -> w <> '')"
+    df = df.withColumn("_mh_words", F.expr(words)).withColumn(
+        "shingles",
+        F.array_distinct(
+            F.expr(word_ngrams(SPARK, "_mh_words", C.MINHASH_SHINGLE_WORDS))
+        ),
+    ).drop("_mh_words")
+    shingle_hashes = F.expr("transform(shingles, s -> xxhash64(s))")
+    return df.withColumn("minhash", _minhash_fold_udf(n_perms)(shingle_hashes))
 
 
 def _bucket_sizes(keyed: DataFrame) -> DataFrame:
@@ -182,13 +258,10 @@ def lsh_bucket_report(keyed: DataFrame, max_bucket: int) -> DataFrame:
     ).withColumn("max_bucket", F.lit(max_bucket))
 
 
-def _minhash_banded(
-    df: DataFrame, id_col: str, text_col: str, bands: int, n_perms: int
-) -> DataFrame:
-    r = n_perms // bands
-    signed = with_minhash(df.select(id_col, text_col), text_col, n_perms)
+def _band_explode(signed: DataFrame, bands: int, r: int) -> DataFrame:
+    """(doc, minhash) → one row per band with the band-bucket hash."""
     return signed.select(
-        F.col(id_col).alias("doc"),
+        "doc",
         "minhash",
         F.posexplode(
             F.array(
@@ -199,6 +272,39 @@ def _minhash_banded(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def _minhash_banded(
+    df: DataFrame, id_col: str, text_col: str, bands: int, n_perms: int
+) -> DataFrame:
+    r = n_perms // bands
+    signed = with_minhash(df.select(id_col, text_col), text_col, n_perms)
+    return _band_explode(
+        signed.select(F.col(id_col).alias("doc"), "minhash"), bands, r
+    )
+
+
+def _minhash_banded_materialized(
+    df: DataFrame, id_col: str, text_col: str, bands: int, n_perms: int
+) -> DataFrame:
+    """Batch-path variant of _minhash_banded: the per-doc signature table
+    is localCheckpointed (LAZILY — the first downstream job materializes
+    it), so the census phase and the collect phase of the two-phase bucket
+    build read ONE evaluation of the expensive subtree (text scan →
+    shingles → hashes → signature UDF) instead of recomputing it each
+    (round-6 plan audit: the whole generation+signature subtree appeared
+    twice per query, three times in the cluster query). This is the
+    guide-§8 proxy-table shape: signatures are ~520 B/doc — the same
+    order as what the band groupBy shuffles anyway — and the heavy text
+    column is read exactly once. Streaming stays on _minhash_banded
+    (checkpointing is a batch-only operation)."""
+    r = n_perms // bands
+    signed = with_minhash(df.select(id_col, text_col), text_col, n_perms)
+    signed = (
+        signed.select(F.col(id_col).alias("doc"), "minhash")
+        .localCheckpoint(eager=False)
+    )
+    return _band_explode(signed, bands, r)
 
 
 def minhash_candidate_pairs(
@@ -218,7 +324,7 @@ def minhash_candidate_pairs(
     Reference analog: the duplicate check's groupBy-count pattern
     (dq_rules_library.py:318-321) generalized to near-duplicates.
     """
-    banded = _minhash_banded(df, id_col, text_col, bands, n_perms)
+    banded = _minhash_banded_materialized(df, id_col, text_col, bands, n_perms)
     buckets = _bucketed(banded, ["minhash"], max_bucket)
     pairs = _pairs_from_buckets(
         buckets, max_bucket,
@@ -251,7 +357,7 @@ def minhash_bucket_report(
     max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     banded = _minhash_banded(df, id_col, text_col, bands, n_perms)
-    return lsh_bucket_report(banded, max_bucket)
+    return lsh_bucket_report(banded, max_bucket)   # census only: one pass
 
 
 # ------------------------------------------------------------- SimHash -----
@@ -350,7 +456,7 @@ def simhash_near_pairs(
     quantify with `simhash_bucket_report`."""
     sh = with_simhash(df.select(id_col, text_col), text_col).select(
         F.col(id_col).alias("doc"), "simhash"
-    )
+    ).localCheckpoint(eager=False)   # one signature pass feeds census+collect
     buckets = _bucketed(_simhash_chunked(sh), ["simhash"], max_bucket)
     cand = _pairs_from_buckets(
         buckets, max_bucket,
@@ -458,11 +564,15 @@ def star_contract_clusters(pairs: DataFrame, max_rounds: int = 20,
     edges = _canonical_edges(pairs).localCheckpoint(eager=True)
     moved = -1   # bound even when max_rounds <= 0
     for rnd in range(max_rounds):
-        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the symmetric-difference job below is the first
+        # action over `new`, so it materializes the checkpoint AND counts
+        # in ONE job — the eager=True form paid a separate materialization
+        # job per round, and at toy sizes the scheduler, not data,
+        # dominates each round (round-6: 2 jobs/round → 1)
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # symmetric-difference size in ONE job: both frames are distinct
         # sets, so a row in exactly one of them groups to count 1 (two
-        # subtract().count() actions doubled the per-round job cost — at
-        # toy sizes the scheduler, not data, dominates each round)
+        # subtract().count() actions doubled the per-round job cost)
         moved = (
             new.union(edges).groupBy("hi", "lo").count()
             .filter(F.col("count") == 1).count()
@@ -508,9 +618,24 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     Lineage is cut with localCheckpoint each round: an iterative join loop
     otherwise compounds the logical plan and re-executes round 1 at round k.
     """
+    # ONE evaluation of the pairs plan: the symmetric edge set comes from a
+    # per-row explode of both orientations, not a self-union — union(pairs,
+    # pairs.swapped) evaluated the (expensive: generation + signatures +
+    # LSH) pairs subtree twice inside the same job (round-6 plan audit)
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -542,7 +667,9 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
                 new_label.alias("cluster_id"),
                 (new_label != F.col("cluster_id")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY: the moved-count below materializes the checkpoint in
+            # the same job (eager=True was a second job per round)
+            .localCheckpoint(eager=False)
         )
         moved = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")

@@ -881,6 +881,50 @@ def test_minhash_signature_is_not_degenerate(spark):
     assert len(set(sig)) > 32, f"degenerate signature: {len(set(sig))} distinct"
 
 
+def test_minhash_numpy_kernel_matches_jvm(spark):
+    """Round-6 optimization pin: with_minhash now hashes each shingle ONCE
+    on the JVM and derives all 64 permutation hashes in a vectorized numpy
+    fold (dedup.py::_xxh64_int_with_seed) via the chained-seed identity
+    xxhash64(s, i) == hashInt(i, seed=xxhash64(s)). This test re-runs the
+    previous ALL-JVM reduce/zip_with fold as the reference and asserts
+    bit-identical signatures per document, including the empty/short-doc
+    all-NULL rows."""
+    import pyspark.sql.functions as F
+
+    from dq_true_north_spark import constants as C
+    from dq_true_north_spark.corpus import pages_df
+    from dq_true_north_spark.textquality.dedup import shingle_col, with_minhash
+
+    n_perms = C.MINHASH_PERMS
+    pages = pages_df(spark, 200).select("url", "text")
+    extra = spark.createDataFrame(
+        [("u-empty", ""), ("u-short", "one two"), ("u-3w", "one two three")],
+        "url string, text string",
+    )
+    df = pages.unionByName(extra)
+    ref = df.withColumn("shingles", shingle_col("text")).withColumn(
+        "minhash_ref",
+        F.expr(
+            f"""CASE WHEN size(shingles) = 0
+                 THEN array_repeat(CAST(NULL AS BIGINT), {n_perms})
+                 ELSE reduce(shingles,
+                      array_repeat(CAST({2**63 - 1} AS BIGINT), {n_perms}),
+                      (acc, s) -> zip_with(acc,
+                          transform(sequence(0, {n_perms - 1}),
+                                    i -> xxhash64(s, i)),
+                          (a, h) -> least(a, h)))
+            END"""
+        ),
+    )
+    expected = {r["url"]: r["minhash_ref"]
+                for r in ref.select("url", "minhash_ref").collect()}
+    got = {r["url"]: r["minhash"]
+           for r in with_minhash(df).select("url", "minhash").collect()}
+    assert got == expected
+    assert got["u-empty"] == [None] * n_perms
+    assert got["u-short"] == [None] * n_perms
+
+
 def test_minhash_mirror_equals_spark_pipeline(spark):
     """The scalar/numpy mirror (dedup_mirror.py) reproduces the production
     Spark LSH pipeline EXACTLY on the 2,000-page corpus: candidate pairs
