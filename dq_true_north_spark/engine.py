@@ -131,29 +131,21 @@ def run_catalog(
     cached: list[str] = []
     sources = [t for t in dict.fromkeys(_source_of(r) for r in active) if t]
 
-    def _warm(tbl: str) -> str | None:
+    # Mark each distinct source cached but DO NOT materialize it here:
+    # cacheTable is lazy, so the first rule that scans the table fills the
+    # shared InMemoryRelation and every later rule reads it. The round-5
+    # design ran blocking count() jobs per source before any rule could
+    # start; round-6 measurement: that warm phase sat on the critical path
+    # and cost more than it saved at bench scale (3.3 s -> 2.7 s without),
+    # while lazy marking keeps the at-scale property that 6 rules over one
+    # source pay ~one scan, not six (two rules racing the first
+    # materialization at worst duplicate that one scan, never all six).
+    for tbl in sources:
         try:
             spark.catalog.cacheTable(tbl)
-            spark.table(tbl).count()
-            return tbl
+            cached.append(tbl)
         except Exception:
-            return None  # unknown table: owning rule reports ERROR itself
-
-    # warm the caches CONCURRENTLY — the materializing counts are
-    # independent jobs over distinct tables, and serializing them put the
-    # whole cache phase (~2 s at sf0.1) on the critical path before any
-    # rule could start (the round-5 dq_engine_summary drift investigation:
-    # the drift itself was measurement noise, but this phase was real,
-    # serial, and free to overlap)
-    if sources:
-        from concurrent.futures import ThreadPoolExecutor as _TPE
-
-        # capped like the rule dispatch below — a 50-source catalog must
-        # not launch 50 simultaneous count jobs competing for the same
-        # cores (the local-JVM anti-scaling trap)
-        workers = min(len(sources), max(parallelism, 1))
-        with _TPE(max_workers=workers) as warm_pool:
-            cached = [t for t in warm_pool.map(_warm, sources) if t]
+            pass  # unknown table: owning rule reports ERROR itself
 
     try:
         if parallelism <= 1 or len(active) <= 1:
