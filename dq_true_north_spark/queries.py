@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd   # module-level: pandas-UDF type hints must resolve
 from pyspark.sql import DataFrame, SparkSession
 
 from . import constants as C
@@ -1276,7 +1277,6 @@ GROUP BY event_type"""
 # ============================================ dedup / similarity search ====
 
 
-@sql_query("cosine_topk_embeddings")
 def q_cosine_topk(d: str) -> str:
     """Brute-force cosine top-k over the embeddings table for a probe set
     (vec_id % 100 = 0). Spark: broadcast probe side + JVM higher-order
@@ -1317,6 +1317,72 @@ scored AS (
 )
 SELECT query_id, neighbor_id, rank, (floor((sim) * 1e4 + 0.5) / 1e4) AS cosine_sim
 FROM ranked WHERE rank <= {C.COSINE_TOPK}"""
+
+
+def _cosine_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy executor for the cosine_topk_embeddings spec above (round 6):
+    the plan keeps the broadcast probe join and the JVM ranking window, but
+    the per-pair cosine moves from the interpreted aggregate/zip_with fold
+    to ONE Arrow hop whose numpy loop runs the identical sequential
+    per-dimension folds (dot and both norms) vectorized across pairs —
+    bit-identical doubles, same rank order. The DUCK rendering of the
+    template stays the frozen driver oracle (parity re-verified at sf0.01
+    and sf0.1)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    load_tables(spark, sf_dir, TABLES)
+    emb = spark.table("embeddings")
+
+    @F.pandas_udf(DoubleType())
+    def cos_udf(qe: pd.Series, ne: pd.Series) -> pd.Series:
+        if not len(qe):
+            return pd.Series(np.empty(0, np.float64))
+        Q = np.stack([np.asarray(a, dtype=np.float64) for a in qe])
+        N = np.stack([np.asarray(a, dtype=np.float64) for a in ne])
+        n_rows, dim = Q.shape
+        dot = np.zeros(n_rows)
+        qn = np.zeros(n_rows)
+        nn = np.zeros(n_rows)
+        for d_ in range(dim):            # sequential folds, as the SQL
+            x, y = Q[:, d_], N[:, d_]
+            dot += x * y
+            qn += x * x
+            nn += y * y
+        return pd.Series(dot / (np.sqrt(qn) * np.sqrt(nn)))
+
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nemb")
+    )
+    pairs = c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+    scored = pairs.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        cos_udf("qemb", "nemb").alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= C.COSINE_TOPK)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            spec.round4_col(F.col("sim")).alias("cosine_sim"),
+        )
+    )
+
+
+_REGISTRY["cosine_topk_embeddings"] = {
+    "spark": _cosine_topk_spark,
+    "oracle": q_cosine_topk(DUCK),
+    "template": q_cosine_topk,   # spec of record; guard-scanned
+}
 
 
 @sql_query("ngram_jaccard_pairs")

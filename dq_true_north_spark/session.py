@@ -52,7 +52,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # broadcast small dims (rule catalog, lexicons) aggressively
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # 24g default: a 32-thread local JVM GC-anti-scales below ~16g and
+        # round-6 A/B showed 24g shaves pipeline cold (5.7 vs 6.4 s) at no
+        # cost in a 128 GiB sandbox; env-parameterized — a real cluster
+        # sizes executor/driver heap via spark-submit, not this default
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -500,6 +500,42 @@ def losers_broadcastable(n_losers: int, n_total: int) -> bool:
 # ----------------------------------------- near-dup cluster formation ------
 
 
+class _iter_loop_conf:
+    """Scale-adaptive shuffle sizing for the iterative graph loops.
+
+    Every round of label propagation / star contraction runs 3-5 tiny
+    exchanges; with the session's cluster-sized shuffle.partitions and
+    AQE's per-stage replanning, the scheduler — not data — dominates each
+    round (guide §2.2: size partitions to the data, never a constant).
+    On entry: partitions = ceil(n_rows / 25k) clamped to [2, session
+    setting] — the measured sweet spot at bench scale, and past ~3.2M rows
+    the clamp returns the session value so a real corpus keeps its
+    cluster sizing; AQE is left ON above the same threshold (its skew
+    splitting matters there) and skipped below it where replanning is
+    pure latency. Runtime confs are restored on exit (the
+    test_bucketing.py save/restore discipline)."""
+
+    def __init__(self, spark, n_rows: int):
+        self.spark = spark
+        self.saved: dict[str, str] = {}
+        sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        parts = min(sess_parts, max(2, -(-n_rows // 25_000)))
+        self.new = {"spark.sql.shuffle.partitions": str(parts)}
+        if parts < sess_parts:
+            self.new["spark.sql.adaptive.enabled"] = "false"
+
+    def __enter__(self):
+        for k, v in self.new.items():
+            self.saved[k] = self.spark.conf.get(k)
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            self.spark.conf.set(k, v)
+        return False
+
+
 def _canonical_edges(pairs: DataFrame) -> DataFrame:
     """(hi, lo) canonical undirected edges, self-loops dropped."""
     return (
@@ -516,10 +552,23 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., 'Connected Components in MapReduce
     and Beyond', SOCC'14): every node attaches its STRICTLY LARGER
     neighbors to the minimum of its closed neighborhood. Input/output:
-    canonical (hi, lo) edges. One groupBy + one co-keyed join."""
-    sym = edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).union(
-        edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
-    )
+    canonical (hi, lo) edges. One groupBy + one co-keyed join.
+
+    Round-6 trims (output-identical; each exchange/scan is a whole extra
+    stage per iteration and the loop is scheduler-bound at small sizes):
+    `sym` explodes both orientations from ONE scan of the edge set instead
+    of a self-union, and the trailing distinct() is gone — _small_star
+    groups/aggregates per key and ends in its own distinct(), so duplicate
+    large-star rows cannot change the round's result, only its
+    intermediate size (bounded by 2x the input edge multiset)."""
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("hi").alias("src"), F.col("lo").alias("dst")),
+                F.struct(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     nbr_min = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     m = F.least(F.col("mn"), F.col("src"))
     return (
@@ -527,7 +576,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("hi"), m.alias("lo"))
         .filter(F.col("hi") != F.col("lo"))
-        .distinct()
     )
 
 
@@ -562,35 +610,40 @@ def star_contract_clusters(pairs: DataFrame, max_rounds: int = 20,
     (bench.py times a planted 10k-node chain, the label-propagation
     worst case, through here)."""
     edges = _canonical_edges(pairs).localCheckpoint(eager=True)
-    moved = -1   # bound even when max_rounds <= 0
-    for rnd in range(max_rounds):
-        # LAZY checkpoint: the symmetric-difference job below is the first
-        # action over `new`, so it materializes the checkpoint AND counts
-        # in ONE job — the eager=True form paid a separate materialization
-        # job per round, and at toy sizes the scheduler, not data,
-        # dominates each round (round-6: 2 jobs/round → 1)
-        new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        # symmetric-difference size in ONE job: both frames are distinct
-        # sets, so a row in exactly one of them groups to count 1 (two
-        # subtract().count() actions doubled the per-round job cost)
-        moved = (
-            new.union(edges).groupBy("hi", "lo").count()
-            .filter(F.col("count") == 1).count()
-        )
-        edges = new
-        if moved == 0:
-            if stats is not None:
-                stats["rounds"] = rnd + 1
-            members = edges.select(
-                F.col("hi").alias("doc"), F.col("lo").alias("cluster_id")
+    spark = pairs.sparkSession
+    with _iter_loop_conf(spark, edges.count()):
+        moved = -1   # bound even when max_rounds <= 0
+        for rnd in range(max_rounds):
+            # LAZY checkpoint: the symmetric-difference job below is the
+            # first action over `new`, so it materializes the checkpoint
+            # AND counts in ONE job — the eager=True form paid a separate
+            # materialization job per round, and at toy sizes the
+            # scheduler, not data, dominates each round (round-6:
+            # 2 jobs/round → 1)
+            new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            # symmetric-difference size in ONE job: both frames are
+            # distinct sets, so a row in exactly one of them groups to
+            # count 1 (two subtract().count() actions doubled the
+            # per-round job cost)
+            moved = (
+                new.union(edges).groupBy("hi", "lo").count()
+                .filter(F.col("count") == 1).count()
             )
-            roots = (
-                edges.select(F.col("lo").alias("doc"))
-                .distinct()
-                .join(edges.select(F.col("hi").alias("doc")), "doc", "left_anti")
-                .withColumn("cluster_id", F.col("doc"))
-            )
-            return members.union(roots)
+            edges = new
+            if moved == 0:
+                if stats is not None:
+                    stats["rounds"] = rnd + 1
+                members = edges.select(
+                    F.col("hi").alias("doc"), F.col("lo").alias("cluster_id")
+                )
+                roots = (
+                    edges.select(F.col("lo").alias("doc"))
+                    .distinct()
+                    .join(edges.select(F.col("hi").alias("doc")), "doc",
+                          "left_anti")
+                    .withColumn("cluster_id", F.col("doc"))
+                )
+                return members.union(roots)
     raise RuntimeError(
         f"star_contract_clusters did not converge in {max_rounds} rounds "
         f"({moved} edge moves in the last round)"
@@ -645,36 +698,39 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         .withColumn("cluster_id", F.col("doc"))
         .localCheckpoint(eager=True)
     )
-    moved = -1   # bound even when max_iters <= 0
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc)
-            .groupBy(F.col("src").alias("doc"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_label = F.least(
-            F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-        )
-        # the convergence flag rides INSIDE the checkpointed frame, so the
-        # moved-count is a cheap filter over already-materialized rows —
-        # not a second labels-vs-updated join job per round (select exprs
-        # resolve against the INPUT frame, so aliasing the new value as
-        # cluster_id cannot shadow the old column it compares against)
-        updated = (
-            labels.join(neighbor_min, "doc", "left")
-            .select(
-                "doc",
-                new_label.alias("cluster_id"),
-                (new_label != F.col("cluster_id")).alias("__changed"),
+    spark = pairs.sparkSession
+    with _iter_loop_conf(spark, edges.count()):
+        moved = -1   # bound even when max_iters <= 0
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc)
+                .groupBy(F.col("src").alias("doc"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            # LAZY: the moved-count below materializes the checkpoint in
-            # the same job (eager=True was a second job per round)
-            .localCheckpoint(eager=False)
-        )
-        moved = updated.filter(F.col("__changed")).count()
-        labels = updated.drop("__changed")
-        if moved == 0:
-            return labels
+            new_label = F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+            )
+            # the convergence flag rides INSIDE the checkpointed frame, so
+            # the moved-count is a cheap filter over already-materialized
+            # rows — not a second labels-vs-updated join job per round
+            # (select exprs resolve against the INPUT frame, so aliasing
+            # the new value as cluster_id cannot shadow the old column it
+            # compares against)
+            updated = (
+                labels.join(neighbor_min, "doc", "left")
+                .select(
+                    "doc",
+                    new_label.alias("cluster_id"),
+                    (new_label != F.col("cluster_id")).alias("__changed"),
+                )
+                # LAZY: the moved-count below materializes the checkpoint
+                # in the same job (eager=True was a second job per round)
+                .localCheckpoint(eager=False)
+            )
+            moved = updated.filter(F.col("__changed")).count()
+            labels = updated.drop("__changed")
+            if moved == 0:
+                return labels
     raise RuntimeError(
         f"near_dup_clusters did not converge in {max_iters} rounds "
         f"({moved} labels still moving) — raise max_iters or use "

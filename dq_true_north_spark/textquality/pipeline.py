@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .. import constants as C
 from . import spec
-from .heuristics import drop_flag_columns
+from .heuristics import fast_drop_flag_columns
 from .scrub import scrub_column
 from .udfs import lang_ppl_udf
 
@@ -84,11 +84,17 @@ def compute_verdicts(
         )
 
     model = lang_ppl_udf(F.col("text"))   # one Arrow hop for both models
-    flagged = pages.select(
+    # staged flags (round 6): the words/lines arrays are hoisted into one
+    # helper projection so the nine flag predicates read bound references
+    # — the self-contained spec rendering re-derived them per flag and the
+    # higher-order pieces escape codegen subexpression elimination (see
+    # heuristics.fast_drop_flag_columns; value-identity test-pinned)
+    helpers, flags = fast_drop_flag_columns("text")
+    flagged = pages.select("url", "warc_ts", "text", *helpers).select(
         "url",
         "warc_ts",
         "text",
-        *drop_flag_columns("text"),
+        *flags,
         model.getField("pred_lang").alias("pred_lang"),
         model.getField("lang_confidence").alias("lang_confidence"),
         model.getField("perplexity").alias("perplexity"),

@@ -211,3 +211,40 @@ def test_canonical_url_three_way_and_idempotent(spark, duck):
     out = pages.select("url", F.expr(expr).alias("c")).collect()
     for r in out:
         assert r["c"] == canonical_url(r["url"])
+
+
+def test_fast_flags_equal_spec_flags(spark):
+    """Round-6 optimization pin: heuristics.fast_drop_flag_columns (staged
+    helper columns, used by the pipeline hot path) must produce flag values
+    IDENTICAL to the self-contained spec rendering (drop_flag_columns) for
+    every reason code — on the planted corpus AND whitespace/empty edge
+    rows. The spec rendering remains the source of truth (doc_drop_flags'
+    dual-dialect oracle runs it); this pins the fast path to it."""
+    from pyspark.sql import functions as F
+
+    from dq_true_north_spark.textquality.heuristics import (
+        drop_flag_columns,
+        fast_drop_flag_columns,
+    )
+
+    pages = pages_df(spark, 500).select("url", "text")
+    edge = spark.createDataFrame(
+        [
+            ("e-empty", ""),
+            ("e-ws", "   \n\t \n"),
+            ("e-oneword", "hello"),
+            ("e-bullets", "- a b\n* c d\n•e f\n- g h"),
+            ("e-ellipsis", "one two three...\nfour five..."),
+            ("e-dup", "same line here\nsame line here\nsame line here"),
+        ],
+        "url string, text string",
+    )
+    df = pages.unionByName(edge)
+    slow = df.select("url", *drop_flag_columns("text"))
+    helpers, flags = fast_drop_flag_columns("text")
+    fast = df.select("url", "text", *helpers).select("url", *flags)
+    reasons = [c for c in slow.columns if c != "url"]
+    assert [c for c in fast.columns if c != "url"] == reasons
+    s = {r["url"]: tuple(r[c] for c in reasons) for r in slow.collect()}
+    f = {r["url"]: tuple(r[c] for c in reasons) for r in fast.collect()}
+    assert s == f
