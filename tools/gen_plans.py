@@ -95,8 +95,12 @@ def main() -> None:
     cap(
         "minhash_candidate_pairs",
         minhash_candidate_pairs(pages_df(spark, 1000, 4)),
-        "Signatures via array_min(transform(...)) — zero explode, zero "
-        "Python; the band-bucket groupBy is the ONLY shuffle; pair expansion "
+        "Signatures: one JVM xxhash64 per shingle, then ONE Arrow hop "
+        "folds all 64 permutation hashes to the element-wise min in "
+        "vectorized numpy (chained-seed identity, bit-identical to the "
+        "all-JVM fold; round 6). The per-doc signature table is "
+        "localCheckpointed so census and collect read one evaluation; the "
+        "band-bucket groupBy is the only data shuffle; pair expansion "
         "happens inside capped buckets (max 64 members).",
     )
     cap(
@@ -110,10 +114,12 @@ def main() -> None:
     cap(
         "embedding_near_dup_pairs",
         reg["embedding_near_dup_pairs"]["spark"](spark, SF),
-        "Brute scorer: self-join with a BROADCAST build side (embeddings "
-        "fit comfortably; at corpus scale the LSH buckets generate the "
-        "candidates instead), cosine as JVM higher-order functions in "
-        "codegen, vec_id < vec_id pruning before the similarity filter.",
+        "Brute scorer: one shuffle by the blocking label (exactly what the "
+        "former self-join shuffled), then per-group pair scoring in "
+        "FlatMapGroupsInPandas — the same sequential per-dimension folds "
+        "the SQL spec's aggregate() performs, vectorized across pairs "
+        "(round 6; at corpus scale the LSH buckets generate the "
+        "candidates instead).",
     )
     cap(
         "sigma_warning_zone_events",
