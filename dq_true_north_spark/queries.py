@@ -1494,11 +1494,20 @@ def _embedding_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             x = E[:, d_]
             nrm += x * x
         nrm = np.sqrt(nrm)
-        ii, jj = np.triu_indices(k, 1)
         out_a, out_b, out_s = [], [], []
-        slab = 1 << 20
-        for s in range(0, len(ii), slab):
-            i_s, j_s = ii[s:s + slab], jj[s:s + slab]
+        # chunked pair enumeration: a whole-triangle triu_indices would
+        # materialize O(k^2) index arrays (GBs for a 20k-member blocking
+        # key); each chunk covers the rows [i0, i1) — their in-block upper
+        # triangle plus the rectangle against all later rows — bounding
+        # peak memory at ~chunk_pairs x dim whatever the group size
+        rows_per_chunk = max(1, (1 << 17) // k)
+        for i0 in range(0, max(k - 1, 0), rows_per_chunk):
+            i1 = min(i0 + rows_per_chunk, k)
+            ti, tj = np.triu_indices(i1 - i0, 1)
+            i_s = np.concatenate(
+                [ti + i0, np.repeat(np.arange(i0, i1), k - i1)])
+            j_s = np.concatenate(
+                [tj + i0, np.tile(np.arange(i1, k), i1 - i0)])
             A, B = E[i_s], E[j_s]
             dot = np.zeros(len(i_s))
             for d_ in range(dim):           # sequential fold, as the SQL
