@@ -230,6 +230,14 @@ excluded; 3 interleaved paired visits x 2 timed runs each.
    the DENOMINATOR, not a scaling change (its own two timed runs disagree
    by the same margin). 8v32 remains DRAM-ceiling-bound (0.404-0.458),
    consistent with every prior round's gradient reading.
+8. Round-6 note (optimization round): measured on the round-6 pipeline
+   (staged heuristic flags, table-handle memoization, 24g driver heap —
+   OPTIMIZATION_r06.md). Both pairings improved in that run: 2v8 median
+   0.922 (r5: 0.878) and 8v32 0.591/0.631/0.756 (r5: 0.404-0.458) — the
+   8v32 shift supports the DRAM-ceiling reading, since round 6 removed
+   allocation churn / per-row re-derived array work and the 32-thread
+   leg, the one pressed against the shared memory controller, gained
+   disproportionately.
 
 Determinism across parallelism is separately enforced by
 tests/test_pipeline.py::test_determinism_across_parallelism (exact verdict
