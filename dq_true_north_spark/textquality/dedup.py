@@ -579,9 +579,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Small-star round: every node rewires its smaller-or-equal neighbors
-    (all of them, in canonical orientation) to the minimum among them."""
+def _small_star_raw(edges: DataFrame) -> DataFrame:
+    """Small-star round WITHOUT the final distinct: every node rewires its
+    smaller-or-equal neighbors (all of them, in canonical orientation) to
+    the minimum among them. The caller dedups — the loop folds it into the
+    same (hi, lo) aggregation that computes the convergence difference, so
+    the round pays ONE keyed exchange instead of two (round 6)."""
     nbr_min = edges.groupBy("hi").agg(F.min("lo").alias("m"))
     joined = edges.join(nbr_min, "hi")
     rewired = (
@@ -589,7 +592,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
         .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
     )
     kept = nbr_min.select(F.col("hi"), F.col("m").alias("lo"))
-    return rewired.union(kept).distinct()
+    return rewired.union(kept)
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round (distinct output) — kept as the readable spec of
+    one contraction step."""
+    return _small_star_raw(edges).distinct()
 
 
 def star_contract_clusters(pairs: DataFrame, max_rounds: int = 20,
@@ -614,22 +623,28 @@ def star_contract_clusters(pairs: DataFrame, max_rounds: int = 20,
     with _iter_loop_conf(spark, edges.count()):
         moved = -1   # bound even when max_rounds <= 0
         for rnd in range(max_rounds):
-            # LAZY checkpoint: the symmetric-difference job below is the
-            # first action over `new`, so it materializes the checkpoint
-            # AND counts in ONE job — the eager=True form paid a separate
-            # materialization job per round, and at toy sizes the
-            # scheduler, not data, dominates each round (round-6:
-            # 2 jobs/round → 1)
-            new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-            # symmetric-difference size in ONE job: both frames are
-            # distinct sets, so a row in exactly one of them groups to
-            # count 1 (two subtract().count() actions doubled the
-            # per-round job cost)
-            moved = (
-                new.union(edges).groupBy("hi", "lo").count()
-                .filter(F.col("count") == 1).count()
+            # ONE keyed exchange per round does triple duty (round 6): the
+            # un-distinct small-star output and the previous edge set are
+            # tagged and union'ed, and a single (hi, lo) aggregation
+            # yields membership on each side — that IS small-star's
+            # distinct, the new edge set, AND the symmetric difference.
+            # The checkpoint is LAZY: the moved-count below materializes
+            # it (the count itself is a shuffle-free scan of the cached
+            # rows), and next round's edges is a cheap filter over the
+            # same cached frame.
+            tagged = _small_star_raw(_large_star(edges)).select(
+                "hi", "lo", F.lit(True).alias("_new")
+            ).union(
+                edges.select("hi", "lo", F.lit(False).alias("_new"))
             )
-            edges = new
+            merged = tagged.groupBy("hi", "lo").agg(
+                F.max(F.col("_new")).alias("_in_new"),
+                F.max(~F.col("_new")).alias("_in_old"),
+            ).localCheckpoint(eager=False)
+            moved = merged.filter(
+                F.col("_in_new") != F.col("_in_old")
+            ).count()
+            edges = merged.filter(F.col("_in_new")).select("hi", "lo")
             if moved == 0:
                 if stats is not None:
                     stats["rounds"] = rnd + 1
