@@ -163,6 +163,42 @@ _PRIORITY: tuple[str, ...] = (
 
 
 # ----------------------------------------------------------------- dialect --
+def _par_scan(d: str, table: str) -> str:
+    """SPARK rendering only: wrap a monitor table in an explicit
+    REPARTITION so the per-row expression work parallelizes.
+
+    Why (round 6, guide §2.5 "input skew — one unsplittable file"): every
+    driver-provided table is a SINGLE-ROW-GROUP parquet file, and Spark
+    can only split scans at row-group boundaries — so the scan stage,
+    with all the projection/filter work whole-stage-codegen fuses into
+    it, ran on ONE core (doc_metrics spent 0.75 s single-threaded on
+    1.5 MB of text). The 1-2 MB round-robin exchange buys back the other
+    31 cores. On a production table with real splits this hint is a
+    pessimization to REMOVE — it exists because the input files are
+    unsplittable, and the count is env-derived, not a constant.
+
+    ONLY applied where it is BOTH order-safe and measured faster:
+    * order-safe = per-row projections, keyed windows, integer
+      aggregations. Queries whose results flow through floating-point
+      SUM/AVG partial aggregation (sigma_bands, top_k_days,
+      sessionization, …) keep the single-partition scan ON PURPOSE —
+      re-partitioning changes double-summation merge order, which can
+      flip a round4 display value at a half-boundary and is run-order
+      non-deterministic besides (the r1 hash-fail class);
+    * measured faster = the documents queries (regex/array-heavy per-row
+      work: doc_metrics 0.64→0.34 s, scrub 0.33→0.16 s). The light
+      events scans were A/B'd and the hint LOST (spike_dip 0.38→0.69 s —
+      the exchange costs more than the scan work it parallelizes), so
+      events queries stay unhinted. The DuckDB arm is untouched either
+      way (oracle text frozen)."""
+    if d != SPARK:
+        return table
+    import os
+
+    n = max(8, min(64, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))))
+    return f"(SELECT /*+ REPARTITION({n}) */ * FROM {table}) {table}"
+
+
 def _str_t(d: str) -> str:
     return "STRING" if d == SPARK else "VARCHAR"
 
@@ -228,7 +264,7 @@ def q_doc_metrics(d: str) -> str:
     cols = ",\n      ".join(
         f"{fn(d, 'text')} AS {name}" for name, fn in spec.METRICS.items()
     )
-    return f"SELECT doc_id,\n      {cols}\nFROM documents"
+    return f"SELECT doc_id,\n      {cols}\nFROM {_par_scan(d, 'documents')}"
 
 
 @sql_query("doc_drop_flags")
@@ -259,7 +295,7 @@ WITH flagged AS (
   SELECT doc_id, lang,
       {flags},
       md5(text) AS text_hash
-  FROM documents
+  FROM {_par_scan(d, 'documents')}
 ), verd AS (
   SELECT *,
       CASE WHEN row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) > 1
@@ -1905,7 +1941,7 @@ def _scrub_documents_template(d: str) -> str:
 
     return (
         f"SELECT doc_id, {scrub_sql_expr(d == SPARK, 'text')} AS scrubbed_text "
-        f"FROM documents"
+        f"FROM {_par_scan(d, 'documents')}"
     )
 
 
