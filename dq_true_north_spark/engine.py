@@ -92,7 +92,7 @@ def run_catalog(
     rules: list[dict],
     sink: ResultSink | None = None,
     write_summary: bool = True,
-    parallelism: int = 8,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Execute every active rule; return the dq_results summary DataFrame.
 
@@ -102,6 +102,13 @@ def run_catalog(
     interleaves their stages across idle cores). parallelism=1 reproduces
     the reference behavior exactly; isolation semantics are unchanged
     because each rule already owns its errors.
+
+    parallelism=None (default) sizes the dispatch pool to the active rule
+    count, capped at 16: per-rule driver round trips, not data, dominate
+    rule latency, so splitting the catalog into waves only serializes the
+    tail (measured round 6: the 12-rule default catalog ran ~0.3-0.5 s
+    faster in one wave than in 8+4). The cap bounds concurrent driver
+    threads; executors are protected by the FIFO scheduler either way.
     """
     sink = sink if sink is not None else NullSink()
     active = [
@@ -147,6 +154,8 @@ def run_catalog(
         except Exception:
             pass  # unknown table: owning rule reports ERROR itself
 
+    if parallelism is None:
+        parallelism = min(16, len(active)) or 1
     try:
         if parallelism <= 1 or len(active) <= 1:
             summary_rows = [_run_one(spark, rule, sink) for rule in active]
